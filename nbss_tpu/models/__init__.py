@@ -1,3 +1,11 @@
 from nbss_tpu.models.spatialnet import SpatialNet, SpatialNetLayer
+from nbss_tpu.models.nbc import NBC, NBCBlock, RelPosMultiHeadAttention
+from nbss_tpu.models.nbc2 import NBC2, NBC2Block
+from nbss_tpu.models.nb_blstm import BLSTM2_FC1, BiLSTM
+from nbss_tpu.models.nbss import NBSS
 
-__all__ = ["SpatialNet", "SpatialNetLayer"]
+__all__ = [
+    "SpatialNet", "SpatialNetLayer", "NBC", "NBCBlock",
+    "RelPosMultiHeadAttention", "NBC2", "NBC2Block", "BLSTM2_FC1", "BiLSTM",
+    "NBSS",
+]

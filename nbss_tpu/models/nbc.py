@@ -1,0 +1,211 @@
+"""NBC: narrow-band conformer v1 (Interspeech 2022).
+
+TPU-native counterpart of /root/reference/models/arch/NBC.py:25-293.
+Each frequency is one sequence over time; blocks are Transformer-XL style:
+relative-positional MHSA (with u/v content/position biases) + a conv
+feed-forward stack. Encoder is a VALID k=4 temporal conv (shrinks T by k-1);
+the ConvTranspose decoder restores the original length.
+
+The relative-position score is computed MXU-style: one [T, 2T-1] matmul of
+(q + v_bias) against the projected sinusoidal table, then a gather down to
+[T, T] — no [T, T, H] materialization (reference gathers the embedding table
+into a [1,T,T,nh,dh] tensor, NBC.py:123-130).
+
+Reference NBC.py:133-134 adds ``attn_mask`` to an undefined variable (dead
+code since masks are never used); here the mask is correctly added to the
+scores before softmax.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from nbss_tpu.models.base import Conv1d, ConvTranspose1d, GroupNorm
+
+Dtype = Any
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def sinusoidal_relpos_table(T: int, d: int) -> np.ndarray:
+    """PE for relative positions [-(T-1) .. T-1] -> [2T-1, d]
+    (reference RelativePositionalEncoding, NBC.py:25-70)."""
+    positions = np.arange(-(T - 1), T, dtype=np.float64)[:, None]
+    denom = np.exp(np.arange(0, d, 2, dtype=np.float64) * -(math.log(10000.0) / d))
+    pe = np.zeros((2 * T - 1, d), np.float64)
+    pe[:, 0::2] = np.sin(positions * denom)
+    pe[:, 1::2] = np.cos(positions * denom)
+    return pe.astype(np.float32)
+
+
+class _XavierDense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                        param_dtype=self.param_dtype, kernel_init=xavier_uniform,
+                        bias_init=nn.initializers.zeros)(x)
+
+
+class RelPosMultiHeadAttention(nn.Module):
+    """Transformer-XL attention: score = ((q+u)k^T + (q+v)pos^T) / sqrt(d_model)
+    (note: reference scales by sqrt(d_model), not sqrt(d_head); NBC.py:90,131)."""
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, att_mask=None, deterministic: bool = True):
+        *lead, T, H = x.shape
+        nh, dh = self.num_heads, self.d_model // self.num_heads
+        dt = self.dtype or x.dtype
+
+        q = _XavierDense(H, dtype=dt, param_dtype=self.param_dtype, name="query_proj")(x)
+        k = _XavierDense(H, dtype=dt, param_dtype=self.param_dtype, name="key_proj")(x)
+        v = _XavierDense(H, dtype=dt, param_dtype=self.param_dtype, name="value_proj")(x)
+        q = q.reshape(*lead, T, nh, dh)
+        k = k.reshape(*lead, T, nh, dh)
+        v = v.reshape(*lead, T, nh, dh)
+
+        u_bias = self.param("u_bias", xavier_uniform, (nh, dh), self.param_dtype).astype(dt)
+        v_bias = self.param("v_bias", xavier_uniform, (nh, dh), self.param_dtype).astype(dt)
+
+        # projected relative position table [2T-1, nh, dh]
+        pe = jnp.asarray(sinusoidal_relpos_table(T, self.d_model), dt)
+        pos = _XavierDense(H, use_bias=False, dtype=dt, param_dtype=self.param_dtype,
+                           name="pos_proj")(pe).reshape(2 * T - 1, nh, dh)
+
+        content = jnp.einsum("...qhd,...khd->...hqk", q + u_bias, k,
+                             preferred_element_type=jnp.float32)
+        # [.., h, T, 2T-1]; column r holds relative position r-(T-1)
+        pos_full = jnp.einsum("...qhd,rhd->...hqr", q + v_bias, pos,
+                              preferred_element_type=jnp.float32)
+        # pos_score[i, j] = pos_full[i, (i - j) + T - 1]
+        i = jnp.arange(T)[:, None]
+        j = jnp.arange(T)[None, :]
+        idx = (i - j) + T - 1  # [T, T]
+        idx = idx.reshape((1,) * (len(lead) + 1) + (T, T))
+        pos_score = jnp.take_along_axis(pos_full, jnp.broadcast_to(idx, content.shape), axis=-1)
+
+        score = (content + pos_score) / math.sqrt(self.d_model)
+        if att_mask is not None:
+            score = score + att_mask.astype(score.dtype)
+        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(dt)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("...hqk,...khd->...qhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(dt)
+        out = out.reshape(*lead, T, H)
+        return _XavierDense(H, dtype=dt, param_dtype=self.param_dtype, name="out_proj")(out)
+
+
+class NBCBlock(nn.Module):
+    dim_model: int = 192
+    num_head: int = 8
+    dim_ffn: int = 384
+    dropout: float = 0.1
+    norm_first: bool = True
+    n_conv_groups: int = 8
+    conv_kernel_size: int = 3
+    conv_bias: bool = True
+    n_conv_layers: int = 3
+    conv_mid_norm: Optional[str] = "GN"
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, att_mask=None):
+        from nbss_tpu.models.base import LayerNorm
+
+        norm1 = LayerNorm(param_dtype=self.param_dtype, name="norm1")
+        norm2 = LayerNorm(param_dtype=self.param_dtype, name="norm2")
+
+        def sa(z):
+            z = RelPosMultiHeadAttention(
+                self.dim_model, self.num_head, self.dropout, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="self_attn",
+            )(z, att_mask, deterministic)
+            return nn.Dropout(self.dropout)(z, deterministic=deterministic)
+
+        def ff(z):
+            z = _XavierDense(self.dim_ffn, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="linear1")(z)
+            z = nn.silu(z)
+            for l in range(self.n_conv_layers):
+                z = Conv1d(self.dim_ffn, self.conv_kernel_size,
+                           groups=self.n_conv_groups, use_bias=self.conv_bias,
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name=f"conv_{l}")(z)
+                if self.conv_mid_norm == "GN":
+                    z = GroupNorm(num_groups=8, param_dtype=self.param_dtype,
+                                  name=f"conv_norm_{l}")(z)
+                elif self.conv_mid_norm is not None:
+                    raise KeyError(self.conv_mid_norm)
+                z = nn.silu(z)
+            z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
+            z = _XavierDense(self.dim_model, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="linear2")(z)
+            return nn.Dropout(self.dropout)(z, deterministic=deterministic)
+
+        if self.norm_first:
+            x = x + sa(norm1(x))
+            x = x + ff(norm2(x))
+        else:
+            x = norm1(x + sa(x))
+            x = norm2(x + ff(x))
+        return x
+
+
+class NBC(nn.Module):
+    """[B, F, T, dim_input] -> [B, F, T, dim_output]."""
+
+    dim_input: int = 16
+    dim_output: int = 4
+    n_layers: int = 4
+    encoder_kernel_size: int = 4
+    n_heads: int = 8
+    hidden_size: int = 192
+    norm_first: bool = True
+    ffn_size: int = 384
+    inner_conv_kernel_size: int = 3
+    inner_conv_groups: int = 8
+    inner_conv_bias: bool = True
+    inner_conv_layers: int = 3
+    inner_conv_mid_norm: Optional[str] = "GN"
+    dropout: float = 0.1
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, att_mask=None):
+        B, F, T, H0 = x.shape
+        dt = self.dtype or x.dtype
+        x = x.astype(dt).reshape(B * F, T, H0)
+        # VALID conv: T -> T - k + 1 (reference NBC.py:261)
+        x = Conv1d(self.hidden_size, self.encoder_kernel_size, padding="valid",
+                   dtype=dt, param_dtype=self.param_dtype, name="encoder")(x)
+        for l in range(self.n_layers):
+            x = NBCBlock(
+                dim_model=self.hidden_size, num_head=self.n_heads,
+                dim_ffn=self.ffn_size, dropout=self.dropout,
+                norm_first=self.norm_first, n_conv_groups=self.inner_conv_groups,
+                conv_kernel_size=self.inner_conv_kernel_size,
+                conv_bias=self.inner_conv_bias, n_conv_layers=self.inner_conv_layers,
+                conv_mid_norm=self.inner_conv_mid_norm, dtype=dt,
+                param_dtype=self.param_dtype, name=f"block_{l}",
+            )(x, deterministic, att_mask)
+        # transposed conv restores T (reference NBC.py:280)
+        y = ConvTranspose1d(self.dim_output, self.encoder_kernel_size, dtype=dt,
+                            param_dtype=self.param_dtype, name="decoder")(x)
+        return y.reshape(B, F, T, -1).astype(jnp.float32)

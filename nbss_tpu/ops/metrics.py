@@ -126,12 +126,15 @@ def sdr(
     # cross-correlation sum_t target[t] * preds[t + lag], lags 0..L-1
     b = jnp.fft.irfft(jnp.conj(tf) * pf, n=n_fft, axis=-1)[..., :L]
 
-    if load_diag is not None:
-        r = r.at[..., 0].add(load_diag)
+    # diagonal loading: explicit value plus a relative floor so silent /
+    # degenerate targets yield a finite (very low) SDR instead of NaN
+    reg = jnp.maximum(load_diag or 0.0, 1e-8 * r[..., 0] + _EPS)
+    r = r.at[..., 0].add(reg)
 
     R = _symmetric_toeplitz(r)
     h = jnp.linalg.solve(R, b[..., None])[..., 0]
 
     coh = jnp.sum(b * h, axis=-1) / (jnp.sum(preds**2, axis=-1) + _EPS)
+    coh = jnp.clip(coh, 0.0, 1.0 - 1e-8)
     ratio = coh / jnp.maximum(1.0 - coh, _EPS)
     return (10.0 * jnp.log10(jnp.maximum(ratio, _EPS))).astype(jnp.float32)

@@ -1,0 +1,57 @@
+"""Device mesh + sharding policy.
+
+The reference scales by DDP data parallelism only (SURVEY.md §2.8); here the
+equivalent is a 1-D ``data`` mesh axis over ICI: the batch is sharded on axis
+0, parameters/optimizer state are replicated, and XLA inserts the gradient
+psum. The narrow-band models are embarrassingly parallel over frequency, so a
+second optional ``freq`` axis is provided for sharding the F dimension of
+activations (sequence-parallel analogue) on pods; single-host training uses
+``data`` only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axes: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    With one axis, shape is (n,). With two axes (e.g. ('data','freq')),
+    pass ``shape``; ICI-adjacent devices land on the minor (last) axis.
+    """
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    if shape is None:
+        shape = (len(devs),) if len(axes) == 1 else None
+    assert shape is not None, "pass shape= for multi-axis meshes"
+    arr = np.asarray(devs).reshape(tuple(shape))
+    return Mesh(arr, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim; everything else replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch pytree onto the mesh, sharded on dim 0."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,184 @@
+"""Jit-compiled fit / validate / test / predict driver.
+
+The TPU-native analogue of the reference's Lightning Trainer usage
+(call stacks in SURVEY.md §3): one compiled train step (forward + uPIT loss +
+backward + optimizer, donated buffers), data-parallel over a ``data`` mesh
+axis with parameters replicated and gradients reduced by XLA collectives,
+per-epoch host-side LR scheduling, every-epoch checkpointing, and metric
+logging through a pluggable logger.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nbss_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from nbss_tpu.train.ckpt import CheckpointManager
+from nbss_tpu.train.module import TrainModule
+from nbss_tpu.train.optim import LRSchedule, build_optimizer, set_learning_rate
+
+
+class Trainer:
+    def __init__(
+        self,
+        module: TrainModule,
+        optimizer: Tuple[str, Dict[str, Any]] = ("Adam", {"lr": 1e-3}),
+        lr_scheduler: Optional[Tuple[str, Dict[str, Any]]] = ("ExponentialLR", {"gamma": 0.99}),
+        gradient_clip_val: Optional[float] = 5.0,
+        mesh=None,
+        seed: int = 2,
+        ckpt_dir: Optional[str] = None,
+        logger: Optional[Callable[[str, float, int], None]] = None,
+        val_metric_mode: str = "max",
+    ):
+        self.module = module
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tx = build_optimizer(optimizer[0], optimizer[1], gradient_clip_val)
+        lr0 = optimizer[1].get("lr", 1e-3)
+        self.lr_schedule = LRSchedule(
+            lr_scheduler[0] if lr_scheduler else None, lr0,
+            lr_scheduler[1] if lr_scheduler else {},
+        )
+        self.seed = seed
+        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        self.logger = logger or (lambda k, v, step: None)
+        self.val_metric_mode = val_metric_mode
+        self.epoch = 0
+        self._train_step = None
+        self._val_step = None
+
+    # ------------------------------------------------------------------ setup
+    def init(self, example_x: np.ndarray):
+        """Initialize (or restore) replicated params + optimizer state.
+
+        example_x: one host batch of waveforms [B, C, T].
+        """
+        x = jnp.asarray(example_x[:1])
+        rng = jax.random.PRNGKey(self.seed)
+
+        def _init(rng, x):
+            X, _ = self.module.stft.stft(x[:, list(self.module.channels)])
+            B, C, F, T = X.shape
+            Xin = jnp.zeros((B, F, T, 2 * C), jnp.float32)
+            return self.module.arch.init(rng, Xin)
+
+        params = _init(rng, x)
+        opt_state = self.tx.init(params)
+        self.params = replicate(self.mesh, params)
+        self.opt_state = replicate(self.mesh, opt_state)
+        return self.params
+
+    def restore(self, epoch: Optional[int] = None, reset: Optional[Sequence[str]] = None,
+                ensemble: Optional[Any] = None):
+        assert self.ckpt is not None
+        if ensemble is not None:
+            restored = self.ckpt.ensemble(ensemble, template={"params": self.params})
+            self.params = replicate(self.mesh, restored["params"])
+            return
+        template = {"params": self.params, "opt_state": self.opt_state}
+        restored = self.ckpt.restore(epoch, template=template, reset=reset)
+        self.params = replicate(self.mesh, restored["params"])
+        if "opt_state" in restored:
+            self.opt_state = replicate(self.mesh, restored["opt_state"])
+        self.epoch = restored["epoch"] + 1
+
+    # ------------------------------------------------------------------ steps
+    def _build_steps(self):
+        module, tx = self.module, self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                return module.training_step(p, batch, rngs={"dropout": rng})
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return params2, opt_state2, loss
+
+        @jax.jit
+        def val_step(params, batch):
+            return module.validation_step(params, batch)
+
+        self._train_step = train_step
+        self._val_step = val_step
+
+    # -------------------------------------------------------------------- fit
+    def fit(
+        self,
+        train_data: Iterable,
+        val_data: Optional[Iterable] = None,
+        max_epochs: int = 1,
+        steps_per_epoch: Optional[int] = None,
+        log_every: int = 50,
+    ) -> Dict[str, float]:
+        """Run the fit loop. ``train_data``/``val_data`` are callables or
+        re-iterables yielding (x [B,C,T], ys [B,Spk,C,T], paras)."""
+        if self._train_step is None:
+            self._build_steps()
+        rng = jax.random.PRNGKey(self.seed)
+        history: Dict[str, float] = {}
+
+        for epoch in range(self.epoch, max_epochs):
+            t0 = time.time()
+            losses = []
+            it = train_data() if callable(train_data) else iter(train_data)
+            for step, batch in enumerate(it):
+                if steps_per_epoch is not None and step >= steps_per_epoch:
+                    break
+                x, ys = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+                sb = shard_batch(self.mesh, (x, ys))
+                rng, sub = jax.random.split(rng)
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, sb, sub
+                )
+                losses.append(loss)
+                if (step + 1) % log_every == 0:
+                    self.logger(f"train/{self.module.loss.name}", float(loss), epoch)
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            history["train_loss"] = train_loss
+            self.logger(f"train/{self.module.loss.name}", train_loss, epoch)
+
+            val_metric = None
+            if val_data is not None:
+                val_logs = self.validate(val_data)
+                for k, v in val_logs.items():
+                    self.logger(k, v, epoch)
+                history.update(val_logs)
+                val_metric = val_logs.get("val/metric")
+
+            if self.ckpt is not None:
+                self.ckpt.save(epoch, self.params, self.opt_state, metric=val_metric)
+
+            # per-epoch LR schedule (reference steps schedulers per epoch)
+            monitored = None
+            if val_metric is not None:
+                monitored = -val_metric if self.val_metric_mode == "max" else val_metric
+            new_lr = self.lr_schedule.step(epoch, monitored)
+            self.opt_state = set_learning_rate(self.opt_state, new_lr)
+            self.logger("lr", new_lr, epoch)
+            self.epoch = epoch + 1
+            history["epoch_time"] = time.time() - t0
+        return history
+
+    def validate(self, val_data: Iterable) -> Dict[str, float]:
+        if self._val_step is None:
+            self._build_steps()
+        it = val_data() if callable(val_data) else iter(val_data)
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in it:
+            x, ys = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+            sb = shard_batch(self.mesh, (x, ys))
+            logs = self._val_step(self.params, sb)
+            for k, v in logs.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}

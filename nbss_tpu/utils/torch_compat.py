@@ -35,6 +35,129 @@ def _ln(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
+def _convT(w: np.ndarray) -> np.ndarray:
+    # torch ConvTranspose1d weight [in, out, k] -> flax kernel [k, in, out],
+    # spatially flipped (flax conv_transpose does not flip the kernel)
+    return np.ascontiguousarray(np.transpose(w, (2, 0, 1))[::-1])
+
+
+def _mha(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "in_proj": {"Dense_0": {"kernel": _dense(sd[f"{prefix}.in_proj_weight"]),
+                                "bias": sd[f"{prefix}.in_proj_bias"]}},
+        "out_proj": {"Dense_0": {"kernel": _dense(sd[f"{prefix}.out_proj.weight"]),
+                                 "bias": sd[f"{prefix}.out_proj.bias"]}},
+    }
+
+
+def nbc2_params_from_torch(sd: Mapping[str, np.ndarray], n_layers: int) -> Dict:
+    """Map the reference NBC2 state_dict (NBC2.py:241-289) onto
+    nbss_tpu.models.nbc2.NBC2. Norm kinds are assumed ('LN','GBN','GBN')."""
+    sd = {k.replace("_orig_mod.", ""): np.asarray(v) for k, v in sd.items()}
+    p: Dict = {
+        "encoder": {"Conv_0": {"kernel": _conv(sd["encoder.weight"]), "bias": sd["encoder.bias"]}},
+        "decoder": {"kernel": _dense(sd["decoder.weight"]), "bias": sd["decoder.bias"]},
+    }
+    for l in range(n_layers):
+        t = f"sa_layers.{l}"
+        p[f"block_{l}"] = {
+            "norm1": {"LayerNorm_0": {"scale": sd[f"{t}.norm1.weight"],
+                                      "bias": sd[f"{t}.norm1.bias"]}},
+            "self_attn": _mha(sd, f"{t}.self_attn"),
+            "norm2": {"GroupBatchNorm_0": {"scale": sd[f"{t}.norm2.weight"].reshape(-1),
+                                           "bias": sd[f"{t}.norm2.bias"].reshape(-1)}},
+            "linear1": {"Dense_0": {"kernel": _dense(sd[f"{t}.linear1.weight"]),
+                                    "bias": sd[f"{t}.linear1.bias"]}},
+            "conv1": {"Conv_0": {"kernel": _conv(sd[f"{t}.conv.1.weight"]),
+                                 "bias": sd[f"{t}.conv.1.bias"]}},
+            "conv2": {"Conv_0": {"kernel": _conv(sd[f"{t}.conv.3.weight"]),
+                                 "bias": sd[f"{t}.conv.3.bias"]}},
+            "conv_norm": {"GroupBatchNorm_0": {"scale": sd[f"{t}.conv.4.weight"].reshape(-1),
+                                               "bias": sd[f"{t}.conv.4.bias"].reshape(-1)}},
+            "conv3": {"Conv_0": {"kernel": _conv(sd[f"{t}.conv.6.weight"]),
+                                 "bias": sd[f"{t}.conv.6.bias"]}},
+            "linear2": {"Dense_0": {"kernel": _dense(sd[f"{t}.linear2.weight"]),
+                                    "bias": sd[f"{t}.linear2.bias"]}},
+        }
+    return p
+
+
+def nbc_params_from_torch(sd: Mapping[str, np.ndarray], n_layers: int,
+                          n_conv_layers: int = 3) -> Dict:
+    """Map the reference NBC state_dict (NBC.py:240-293) onto
+    nbss_tpu.models.nbc.NBC (conv_mid_norm='GN' layout)."""
+    sd = {k.replace("_orig_mod.", ""): np.asarray(v) for k, v in sd.items()}
+    p: Dict = {
+        "encoder": {"Conv_0": {"kernel": _conv(sd["encoder.weight"]), "bias": sd["encoder.bias"]}},
+        "decoder": {"ConvTranspose_0": {"kernel": _convT(sd["decoder.weight"]),
+                                        "bias": sd["decoder.bias"]}},
+    }
+    for l in range(n_layers):
+        t = f"sa_layers.{l}"
+        blk: Dict = {
+            "norm1": _ln(sd, f"{t}.norm1"),
+            "norm2": _ln(sd, f"{t}.norm2"),
+            "self_attn": {
+                "u_bias": sd[f"{t}.self_attn.u_bias"],
+                "v_bias": sd[f"{t}.self_attn.v_bias"],
+            },
+            "linear1": {"Dense_0": {"kernel": _dense(sd[f"{t}.linear1.weight"]),
+                                    "bias": sd[f"{t}.linear1.bias"]}},
+            "linear2": {"Dense_0": {"kernel": _dense(sd[f"{t}.linear2.weight"]),
+                                    "bias": sd[f"{t}.linear2.bias"]}},
+        }
+        for proj in ("query_proj", "key_proj", "value_proj", "out_proj"):
+            blk["self_attn"][proj] = {"Dense_0": {
+                "kernel": _dense(sd[f"{t}.self_attn.{proj}.weight"]),
+                "bias": sd[f"{t}.self_attn.{proj}.bias"]}}
+        blk["self_attn"]["pos_proj"] = {"Dense_0": {
+            "kernel": _dense(sd[f"{t}.self_attn.pos_proj.weight"])}}
+        # conv Sequential indices: conv at 3*i, GN at 3*i+1, SiLU at 3*i+2
+        for i in range(n_conv_layers):
+            blk[f"conv_{i}"] = {"Conv_0": {"kernel": _conv(sd[f"{t}.conv.{3*i}.weight"]),
+                                           "bias": sd[f"{t}.conv.{3*i}.bias"]}}
+            blk[f"conv_norm_{i}"] = {"scale": sd[f"{t}.conv.{3*i+1}.weight"],
+                                     "bias": sd[f"{t}.conv.{3*i+1}.bias"]}
+        p[f"block_{l}"] = blk
+    return p
+
+
+def _lstm_cell(sd: Mapping[str, np.ndarray], prefix: str, layer: int,
+               reverse: bool) -> Dict:
+    sfx = f"l{layer}" + ("_reverse" if reverse else "")
+    w_ih = sd[f"{prefix}.weight_ih_{sfx}"]  # [4h, in], gate order i,f,g,o
+    w_hh = sd[f"{prefix}.weight_hh_{sfx}"]  # [4h, h]
+    b = sd[f"{prefix}.bias_ih_{sfx}"] + sd[f"{prefix}.bias_hh_{sfx}"]  # [4h]
+    h = w_hh.shape[1]
+    gates = ("i", "f", "g", "o")
+    cell: Dict = {}
+    for gi, g in enumerate(gates):
+        cell[f"i{g}"] = {"kernel": _dense(w_ih[gi * h:(gi + 1) * h])}
+        cell[f"h{g}"] = {"kernel": _dense(w_hh[gi * h:(gi + 1) * h]),
+                         "bias": b[gi * h:(gi + 1) * h]}
+    return cell
+
+
+def blstm2_fc1_params_from_torch(sd: Mapping[str, np.ndarray],
+                                 n_repeat_last_lstm: int = 1) -> Dict:
+    """Map the reference BLSTM2_FC1 state_dict (blstm2_fc1.py:6-69) onto
+    nbss_tpu.models.nb_blstm.BLSTM2_FC1.
+
+    Note: torch nn.LSTM(num_layers=k) stacks layers inside one module; our
+    BiLSTM stacks flax RNNs, so torch layer l maps to fwd_{l}/bwd_{l}."""
+    sd = {k.replace("_orig_mod.", ""): np.asarray(v) for k, v in sd.items()}
+    p: Dict = {
+        "blstm1": {"fwd_0": _lstm_cell(sd, "blstm1", 0, False),
+                   "bwd_0": _lstm_cell(sd, "blstm1", 0, True)},
+        "blstm2": {},
+        "linear": {"kernel": _dense(sd["linear.weight"]), "bias": sd["linear.bias"]},
+    }
+    for l in range(n_repeat_last_lstm):
+        p["blstm2"][f"fwd_{l}"] = _lstm_cell(sd, "blstm2", l, False)
+        p["blstm2"][f"bwd_{l}"] = _lstm_cell(sd, "blstm2", l, True)
+    return p
+
+
 def spatialnet_params_from_torch(
     sd: Mapping[str, np.ndarray], num_layers: int, full_share: int = 0
 ) -> Dict:

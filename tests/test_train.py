@@ -1,0 +1,131 @@
+"""End-to-end training slice: SpatialNet-tiny on synthetic mixtures, sharded
+over the 8-device CPU mesh — loss must decrease; val/predict paths run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nbss_tpu.data import BatchLoader, DistributedSampler, SyntheticDataset
+from nbss_tpu.io import Loss, Norm, STFT
+from nbss_tpu.models import SpatialNet
+from nbss_tpu.parallel import make_mesh
+from nbss_tpu.train import TrainModule, Trainer
+
+
+def tiny_module(num_channels=2, num_spk=2, n_fft=128):
+    arch = SpatialNet(
+        dim_input=2 * num_channels, dim_output=2 * num_spk, num_layers=2,
+        dim_hidden=32, dim_ffn=64, num_heads=2, dim_squeeze=4,
+        num_freqs=n_fft // 2 + 1, full_share=0,
+    )
+    return TrainModule(
+        arch=arch,
+        channels=tuple(range(num_channels)),
+        ref_channel=0,
+        stft=STFT(n_fft=n_fft, n_hop=n_fft // 2),
+        norm=Norm(mode="frequency", online=True),
+        loss=Loss(name="neg_si_sdr", pit=True),
+    )
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(num_items=64, num_spk=2, num_channels=2,
+                            sample_rate=8000, audio_time_len=0.5)
+
+
+def test_fit_loss_decreases(ds, cpu_devices, tmp_path):
+    module = tiny_module()
+    mesh = make_mesh(8)
+    trainer = Trainer(
+        module,
+        optimizer=("Adam", {"lr": 2e-3}),
+        lr_scheduler=("ExponentialLR", {"gamma": 0.99}),
+        mesh=mesh,
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+
+    def loader():
+        sampler = DistributedSampler(len(ds), seed=1, shuffle=True)
+        return iter(BatchLoader(ds, batch_size=8, sampler=sampler))
+
+    x0, _, _ = ds[(0, 0)]
+    trainer.init(np.stack([x0]))
+
+    h1 = trainer.fit(loader, max_epochs=1, steps_per_epoch=2)
+    first = h1["train_loss"]
+    h2 = trainer.fit(loader, max_epochs=6, steps_per_epoch=2)
+    last = h2["train_loss"]
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+
+    # checkpoints written every epoch
+    assert trainer.ckpt.latest_epoch() == 5
+
+
+def test_validate_and_predict(ds, cpu_devices):
+    module = tiny_module()
+    trainer = Trainer(module, mesh=make_mesh(8))
+
+    def loader():
+        sampler = DistributedSampler(len(ds), seed=3, shuffle=False)
+        return iter(BatchLoader(ds, batch_size=8, sampler=sampler))
+
+    x0, _, _ = ds[(0, 0)]
+    trainer.init(np.stack([x0]))
+    logs = trainer.validate(lambda: iter(list(loader())[:1]))
+    for key in ("val/neg_si_sdr", "val/metric", "val/sdr"):
+        assert key in logs and np.isfinite(logs[key])
+
+    x, ys, _ = next(loader())
+    yhat = module.predict_step(trainer.params, jnp.asarray(x))
+    assert yhat.shape == (8, 2, x.shape[-1])
+    assert float(jnp.max(jnp.abs(yhat))) <= 1.0 + 1e-5
+
+
+def test_checkpoint_restore_and_ensemble(ds, cpu_devices, tmp_path):
+    module = tiny_module()
+    trainer = Trainer(module, mesh=make_mesh(8), ckpt_dir=str(tmp_path / "ck"))
+
+    def loader():
+        sampler = DistributedSampler(len(ds), seed=1, shuffle=True)
+        return iter(BatchLoader(ds, batch_size=8, sampler=sampler))
+
+    x0, _, _ = ds[(0, 0)]
+    trainer.init(np.stack([x0]))
+    trainer.fit(loader, max_epochs=2, steps_per_epoch=1)
+    params_before = jax.tree.map(np.asarray, trainer.params)
+
+    t2 = Trainer(module, mesh=make_mesh(8), ckpt_dir=str(tmp_path / "ck"))
+    t2.init(np.stack([x0]))
+    t2.restore()
+    for a, b in zip(jax.tree.leaves(params_before), jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert t2.epoch == 2
+
+    # ensemble of last 2 = average of epoch0/epoch1 params
+    t2.restore(ensemble=2)
+    p0 = t2.ckpt.restore(0, template={"params": params_before})["params"]
+    p1 = t2.ckpt.restore(1, template={"params": params_before})["params"]
+    avg = jax.tree.map(lambda a, b: (np.asarray(a) + np.asarray(b)) / 2, p0, p1)
+    for a, b in zip(jax.tree.leaves(avg), jax.tree.leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_sampler_determinism():
+    s1 = list(DistributedSampler(10, seed=7, shuffle=True, last_epoch=3))
+    s2 = list(DistributedSampler(10, seed=7, shuffle=True, last_epoch=3))
+    assert s1 == s2
+    s3 = list(DistributedSampler(10, seed=7, shuffle=True, last_epoch=4))
+    assert s1 != s3
+    # rank-strided shard covers everything exactly once (after padding)
+    a = DistributedSampler(10, seed=7, num_replicas=4, rank=0, last_epoch=0)
+    parts = [
+        [i for i, _ in DistributedSampler(10, seed=7, num_replicas=4, rank=r, last_epoch=0)]
+        for r in range(4)
+    ]
+    assert sorted(sum(parts, []))[:10] != []
+    assert {i for p in parts for i in p} == set(range(10))
+    assert all(len(p) == 3 for p in parts)
