@@ -1,0 +1,99 @@
+"""OnlineSpatialNet: causality checks (reference __main__ OnlineSpatialNet.py:
+422-426), streaming equivalence, mamba scan-vs-step equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nbss_tpu.models.mamba import MambaBlock
+from nbss_tpu.models.online_spatialnet import OnlineSpatialNet
+
+CFG = dict(
+    dim_input=4, dim_output=4, num_layers=2, dim_hidden=32, dim_ffn=64,
+    num_heads=4, kernel_size=(5, 3), conv_groups=(8, 8),
+    norms=("LN", "LN", "GN", "LN", "LN", "LN"), dim_squeeze=4,
+    num_freqs=9, full_share=0,
+)
+
+
+def _causality(model, rng, T=40, T1=25):
+    x = rng.standard_normal((1, CFG["num_freqs"], T, 4)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:, :, :T1]))
+    y_full = np.asarray(model.apply(params, jnp.asarray(x)))
+    y_part = np.asarray(model.apply(params, jnp.asarray(x[:, :, :T1])))
+    np.testing.assert_allclose(y_full[:, :, :T1], y_part, atol=1e-4, rtol=1e-3)
+    return params, x, y_full
+
+
+@pytest.mark.parametrize("attention,rope", [
+    ("mhsa(16)", False),
+    ("mhsa(inf)", False),
+    ("mhsa(16)", "ALiBi"),
+    ("mamba(8,4)", False),
+])
+def test_causal(rng, attention, rope):
+    model = OnlineSpatialNet(attention=attention, rope=rope, **CFG)
+    _causality(model, rng)
+
+
+@pytest.mark.parametrize("rope", [False, True])
+def test_causal_retention_chunkwise(rng, rope):
+    model = OnlineSpatialNet(attention="ret(2,share_qk)", decay=(4, 5, 9, 10),
+                             chunkwise_recurrent=True, rope=rope, **CFG)
+    _causality(model, rng)
+
+
+def test_retention_recurrent_inference_matches_training(rng):
+    """inference=True (O(1)-state scan) ~= chunkwise/parallel training path."""
+    model = OnlineSpatialNet(attention="ret(2,not_share_qk)", decay=(4, 5, 9, 10),
+                             chunkwise_recurrent=False, rope=True, **CFG)
+    x = rng.standard_normal((1, CFG["num_freqs"], 30, 4)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_train = np.asarray(model.apply(params, jnp.asarray(x)))
+    y_inf = np.asarray(model.apply(params, jnp.asarray(x), inference=True))
+    np.testing.assert_allclose(y_train, y_inf, atol=2e-3, rtol=2e-2)
+
+
+def test_mamba_streaming_equals_scan(rng):
+    m = MambaBlock(d_model=16, d_state=8, d_conv=4)
+    x = jnp.asarray(rng.standard_normal((3, 20, 16)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(m.apply(params, x))
+
+    state = m.init_state(3)
+    outs = []
+    for t in range(20):
+        y_t, state = m.apply(params, x[:, t:t + 1], state, method=m.streaming_step)
+        outs.append(y_t)
+    y_str = np.asarray(jnp.concatenate(outs, axis=1))
+    np.testing.assert_allclose(y, y_str, atol=1e-4, rtol=1e-3)
+
+
+def test_mamba_grads_finite(rng):
+    m = MambaBlock(d_model=16, d_state=8, d_conv=4)
+    x = jnp.asarray(rng.standard_normal((2, 15, 16)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.mean(m.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_online_spatialnet_jit_and_grad(rng):
+    model = OnlineSpatialNet(attention="mamba(8,4)", **CFG)
+    x = jnp.asarray(rng.standard_normal((2, 9, 16, 4)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def loss(p, x):
+        return jnp.mean(model.apply(p, x) ** 2)
+
+    g = jax.jit(jax.grad(loss))(params, x)
+    assert np.isfinite(float(loss(params, x)))
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
