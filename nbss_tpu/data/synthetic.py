@@ -104,3 +104,25 @@ class SyntheticDataset:
 
         paras = {"index": index, "seed": seed, "sample_rate": fs, "snr": float(snr)}
         return x.astype(np.float32), ys.astype(np.float32), paras
+
+
+from nbss_tpu.data.loader import DataModule as _DataModule  # noqa: E402
+from dataclasses import dataclass as _dataclass  # noqa: E402
+
+
+@_dataclass
+class SyntheticDataModule(_DataModule):
+    """Stage loaders over SyntheticDataset — usable from the CLI for smoke
+    runs and benchmarks without any corpus on disk."""
+
+    num_items: int = 64
+    num_spk: int = 2
+    num_channels: int = 6
+    sample_rate: int = 8000
+    audio_time_len: float = 4.0
+
+    def _make_dataset(self, stage_idx: int):
+        return SyntheticDataset(
+            num_items=self.num_items, num_spk=self.num_spk,
+            num_channels=self.num_channels, sample_rate=self.sample_rate,
+            audio_time_len=self.audio_time_len)

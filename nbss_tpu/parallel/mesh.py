@@ -46,9 +46,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host batch pytree onto the mesh, sharded on dim 0."""
-    sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    """Place a host batch pytree onto the mesh, sharded on dim 0.
+
+    Arrays whose leading dim does not divide the mesh (e.g. batch-1 full-
+    length eval utterances) are replicated instead."""
+    sharded = batch_sharding(mesh, axis)
+    repl = replicated(mesh)
+    n = mesh.devices.size
+
+    def put(x):
+        sh = sharded if (x.ndim > 0 and x.shape[0] % n == 0) else repl
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):
