@@ -85,6 +85,13 @@ def build_trainer(cfg: Dict, module: TrainModule, log_dir: str) -> Trainer:
     logger = TensorBoardLogger(log_dir)
     optimizer = m.get("optimizer", ("Adam", {"lr": 1e-3}))
     lr_scheduler = m.get("lr_scheduler", ("ExponentialLR", {"gamma": 0.99}))
+    es = cfg.get("early_stopping") or {}
+    early_stopping = None
+    if es.get("enable"):
+        early_stopping = {"monitor": es.get("monitor", "val/metric"),
+                          "patience": es.get("patience", 10),
+                          "mode": es.get("mode", "max"),
+                          "min_delta": es.get("min_delta", 0.1)}
     return Trainer(
         module,
         mesh=_mesh_for(cfg),
@@ -94,6 +101,7 @@ def build_trainer(cfg: Dict, module: TrainModule, log_dir: str) -> Trainer:
         seed=cfg.get("seed_everything", 2),
         ckpt_dir=os.path.join(log_dir, "checkpoints"),
         logger=logger,
+        early_stopping=early_stopping,
     )
 
 
@@ -128,6 +136,16 @@ def run(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     trainer = build_trainer(cfg, module, log_dir)
     x0, _, _ = _example_batch(data_module)
     trainer.init(np.asarray(x0[:1]))
+
+    from nbss_tpu.utils.logging import write_model_summary
+
+    write_model_summary(log_dir, module, trainer.params)
+    if cfg.get("trainer", {}).get("write_flops"):
+        from nbss_tpu.utils.flops import write_flops
+
+        fs = getattr(data_module, "sample_rate", 8000)
+        write_flops(log_dir, module, trainer.params, jnp.asarray(x0[:1]),
+                    audio_seconds=x0.shape[-1] / fs)
 
     if ckpt_path is not None:
         epoch = None

@@ -37,7 +37,11 @@ class Trainer:
         ckpt_dir: Optional[str] = None,
         logger: Optional[Callable[[str, float, int], None]] = None,
         val_metric_mode: str = "max",
+        early_stopping: Optional[Dict[str, Any]] = None,
     ):
+        """early_stopping: {'monitor': 'val/metric', 'patience': 10,
+        'mode': 'max', 'min_delta': 0.1} — reference TrainCLI defaults
+        (SharedTrainer.py:348-356), disabled when None."""
         self.module = module
         self.mesh = mesh if mesh is not None else make_mesh()
         self.tx = build_optimizer(optimizer[0], optimizer[1], gradient_clip_val)
@@ -50,9 +54,12 @@ class Trainer:
         self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
         self.logger = logger or (lambda k, v, step: None)
         self.val_metric_mode = val_metric_mode
+        self.early_stopping = early_stopping
         self.epoch = 0
         self._train_step = None
         self._val_step = None
+        self._es_best: Optional[float] = None
+        self._es_bad = 0
 
     # ------------------------------------------------------------------ setup
     def init(self, example_x: np.ndarray):
@@ -166,7 +173,27 @@ class Trainer:
             self.logger("lr", new_lr, epoch)
             self.epoch = epoch + 1
             history["epoch_time"] = time.time() - t0
+
+            if self.early_stopping and val_metric is not None:
+                if self._should_stop(val_metric):
+                    break
         return history
+
+    def _should_stop(self, monitored: float) -> bool:
+        es = self.early_stopping
+        mode = es.get("mode", "max")
+        min_delta = es.get("min_delta", 0.0)
+        patience = es.get("patience", 10)
+        improved = (
+            self._es_best is None
+            or (mode == "max" and monitored > self._es_best + min_delta)
+            or (mode == "min" and monitored < self._es_best - min_delta)
+        )
+        if improved:
+            self._es_best, self._es_bad = monitored, 0
+            return False
+        self._es_bad += 1
+        return self._es_bad >= patience
 
     def validate(self, val_data: Iterable) -> Dict[str, float]:
         if self._val_step is None:
