@@ -1,0 +1,129 @@
+"""LibriCSS / REVERB / WHAMR / spatialized-wsj0-mix over synthetic fixtures."""
+
+import numpy as np
+import pytest
+
+from nbss_tpu.sim import RirConfigSampler, render_room
+from nbss_tpu.utils.audio_io import write_audio
+
+
+@pytest.fixture(scope="module")
+def rir_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rirs16k")
+    sampler = RirConfigSampler(spk_num=3, noise_num=0, RT60_lim=(0.13, 0.16),
+                               arr_geometry="libricss", fs=16000, seed=1)
+    par = sampler.sample(0)
+    render_room(par, 16000, str(root), "train")
+    import shutil
+
+    for sub in ("validation", "test"):
+        shutil.copytree(root / "train", root / sub)
+    return str(root)
+
+
+def test_libricss_sim(tmp_path, rir_root, rng):
+    from nbss_tpu.data.libricss import LibriCSSDataset
+
+    ls = tmp_path / "librispeech" / "train-clean-100" / "19" / "198"
+    ls.mkdir(parents=True)
+    for u in range(3):
+        wav = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        write_audio(str(ls / f"19-198-{u:04d}.wav"), wav, 16000)
+    nd = tmp_path / "noise"
+    nd.mkdir()
+    write_audio(str(nd / "n0.wav"),
+                (rng.standard_normal((16000 * 16, 2)) * 0.05).astype(np.float32), 16000)
+
+    ds = LibriCSSDataset(
+        librispeech_dir=str(tmp_path / "librispeech"), rir_dir=rir_root,
+        noise_dir=str(nd), dataset="SimTrain", audio_time_len=1.0,
+        spk1_prob=0.0, spk2_prob=1.0)
+    mix, targets, paras = ds[(0, 3)]
+    assert mix.shape == (7, 16000)
+    assert targets.shape[0] == 2 and np.isfinite(targets).all()
+    assert paras["num_spk"] == 2
+
+    # 3-speaker packed into 2 streams
+    ds3 = LibriCSSDataset(
+        librispeech_dir=str(tmp_path / "librispeech"), rir_dir=rir_root,
+        noise_dir=str(nd), dataset="SimTrain", audio_time_len=1.0,
+        spk1_prob=0.0, spk2_prob=0.0)
+    mix, targets, paras = ds3[(0, 11)]
+    assert paras["num_spk"] == 3 and targets.shape[0] == 2
+
+    # 1-speaker pads a zero stream
+    ds1 = LibriCSSDataset(
+        librispeech_dir=str(tmp_path / "librispeech"), rir_dir=rir_root,
+        noise_dir=str(nd), dataset="SimTrain", audio_time_len=1.0,
+        spk1_prob=1.0, spk2_prob=0.0)
+    mix, targets, paras = ds1[(0, 13)]
+    assert paras["num_spk"] == 1
+    assert np.abs(targets[1]).max() == 0.0
+
+
+def test_reverb_trainval(tmp_path, rir_root, rng):
+    from nbss_tpu.data.reverb import ReverbTrainValDataset, gen_obs
+
+    wsjcam0 = tmp_path / "wsjcam0" / "data" / "primary_microphone" / "si_tr"
+    wsjcam0.mkdir(parents=True)
+    for u in range(2):
+        wav = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+        write_audio(str(wsjcam0 / f"c0{u}.wav"), wav, 16000)
+    noise_dir = (tmp_path / "Reverb" / "reverb_tools_for_Generate_mcTrainData" / "NOISE")
+    noise_dir.mkdir(parents=True)
+    write_audio(str(noise_dir / "Noise_SmallRoom1_1.wav"),
+                (rng.standard_normal((16000 * 3, 7)) * 0.05).astype(np.float32), 16000)
+
+    ds = ReverbTrainValDataset(
+        wsjcam0_dir=str(tmp_path / "wsjcam0"), reverb_dir=str(tmp_path / "Reverb"),
+        dataset="train_with_simulated_rir", rir_dir=rir_root, audio_time_len=1.0)
+    noisy, dp, paras = ds[(0, 17)]
+    assert noisy.shape == (7, 16000)
+    assert dp.shape == (1, 7, 16000)
+    assert np.isfinite(noisy).all()
+    noisy2, _, _ = ds[(0, 17)]
+    np.testing.assert_array_equal(noisy, noisy2)
+
+    # gen_obs SNR convention check: direct+early SNR close to requested
+    x = rng.standard_normal(16000).astype(np.float64)
+    RIR = np.zeros((1600, 2))
+    RIR[100, :] = 1.0
+    NOISE = rng.standard_normal((32000, 2)) * 0.3
+    y = gen_obs(x, RIR, NOISE, SNRdB=10.0)
+    assert y.shape[0] == 2 and np.isfinite(y).all()
+
+
+def test_reverb_et(tmp_path, rng):
+    from nbss_tpu.data.reverb import ReverbEtDataset
+
+    d = tmp_path / "Reverb" / "MC_WSJ_AV_Eval" / "audio"
+    d.mkdir(parents=True)
+    write_audio(str(d / "T1.wav"),
+                (rng.standard_normal((16000, 8)) * 0.1).astype(np.float32), 16000)
+    ds = ReverbEtDataset(reverb_dir=str(tmp_path / "Reverb"), dataset="Et_real")
+    mix, tgt, paras = ds[(0, 0)]
+    assert mix.shape == (8, 16000) and tgt is None
+
+
+def test_whamr_and_spwsj_readers(tmp_path, rng):
+    from nbss_tpu.data.whamr import WHAMRDataset
+    from nbss_tpu.data.spatialized_wsj0_mix import SpatializedWSJMixDataset
+
+    for name, subs in (("whamr/wav8k/min/tr",
+                        ("mix_both_reverb", "s1_anechoic", "s2_anechoic")),
+                       ("spwsj/2speakers_reverb/wav8k/min/tr", ("mix", "s1", "s2"))):
+        for sub in subs:
+            d = tmp_path / name / sub
+            d.mkdir(parents=True)
+            write_audio(str(d / "u0.wav"),
+                        (rng.standard_normal((8000, 2)) * 0.1).astype(np.float32), 8000)
+
+    wh = WHAMRDataset(whamr_dir=str(tmp_path / "whamr"), dataset="tr",
+                      audio_time_len=0.5)
+    mix, tgt, _ = wh[(0, 4)]
+    assert mix.shape == (2, 4000) and tgt.shape == (2, 2, 4000)
+
+    sp = SpatializedWSJMixDataset(sp_wsj0_dir=str(tmp_path / "spwsj"), dataset="tr",
+                                  audio_time_len=0.5)
+    mix, tgt, _ = sp[(0, 4)]
+    assert mix.shape == (2, 4000) and tgt.shape == (2, 2, 4000)
