@@ -307,12 +307,18 @@ class MultiheadAttention(nn.Module):
     Packed qkv projection + output projection, matching torch
     nn.MultiheadAttention's parameterization (for checkpoint transplant) with
     scale 1/sqrt(head_dim) and fp32 softmax. ``attn_mask`` is additive
-    ([..., T, T] float, -inf for masked) or boolean (True = masked).
+    ([T, T] or [nh, T, T] float, -inf for masked) or boolean (True = masked).
+
+    ``fused``: use the Pallas narrow-band attention kernel
+    (nbss_tpu.ops.attention) that keeps each sequence's score matrix in VMEM
+    — ~10x less HBM traffic for the B*F-batched short sequences here. None
+    (default) enables it on TPU backends only.
     """
 
     num_heads: int
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
@@ -325,20 +331,45 @@ class MultiheadAttention(nn.Module):
         qkv = Dense(3 * H, dtype=dt, param_dtype=self.param_dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(*lead, T, nh, dh)
+        fused = self.fused
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        if attn_mask is not None and attn_mask.ndim > 3:
+            fused = False  # per-item masks not supported by the kernel
 
-        q, k, v = heads(q), heads(k), heads(v)
-        logits = jnp.einsum("...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits.astype(jnp.float32) / math.sqrt(dh)
-        if attn_mask is not None:
-            if attn_mask.dtype == jnp.bool_:
-                logits = jnp.where(attn_mask[..., None, :, :] if attn_mask.ndim == len(lead) + 2 else attn_mask,
-                                   jnp.float32(-1e30), logits)
-            else:
-                m = attn_mask[..., None, :, :] if attn_mask.ndim == len(lead) + 2 else attn_mask
-                logits = logits + m.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-        out = jnp.einsum("...hqk,...khd->...qhd", probs, v, preferred_element_type=jnp.float32)
-        out = out.astype(dt).reshape(*lead, T, H)
+        if fused:
+            from nbss_tpu.ops.attention import narrowband_attention
+
+            def flat(t):  # [..., T, H] -> [N, T, dh] with (lead..., head) major
+                t = t.reshape(*lead, T, nh, dh)
+                t = jnp.moveaxis(t, -2, -3)  # [..., nh, T, dh]
+                return t.reshape(-1, T, dh)
+
+            mask = attn_mask
+            if mask is not None:
+                if mask.dtype == jnp.bool_:
+                    mask = jnp.where(mask, jnp.float32(-1e30), jnp.float32(0.0))
+                mask = jnp.maximum(mask.astype(jnp.float32), -1e30)
+            out = narrowband_attention(flat(q), flat(k), flat(v), mask, nh)
+            out = out.reshape(*lead, nh, T, dh)
+            out = jnp.moveaxis(out, -3, -2).reshape(*lead, T, H)
+        else:
+            def heads(t):
+                return t.reshape(*lead, T, nh, dh)
+
+            q, k, v = heads(q), heads(k), heads(v)
+            logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits.astype(jnp.float32) / math.sqrt(dh)
+            if attn_mask is not None:
+                if attn_mask.dtype == jnp.bool_:
+                    m = attn_mask[..., None, :, :] if attn_mask.ndim == len(lead) + 2 else attn_mask
+                    logits = jnp.where(m, jnp.float32(-1e30), logits)
+                else:
+                    m = attn_mask[..., None, :, :] if attn_mask.ndim == len(lead) + 2 else attn_mask
+                    logits = logits + m.astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            out = jnp.einsum("...hqk,...khd->...qhd", probs, v,
+                             preferred_element_type=jnp.float32)
+            out = out.astype(dt).reshape(*lead, T, H)
         return Dense(H, dtype=dt, param_dtype=self.param_dtype, name="out_proj")(out)

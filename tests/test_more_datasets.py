@@ -127,3 +127,36 @@ def test_whamr_and_spwsj_readers(tmp_path, rng):
                                   audio_time_len=0.5)
     mix, tgt, _ = sp[(0, 4)]
     assert mix.shape == (2, 4000) and tgt.shape == (2, 2, 4000)
+
+
+def test_spk4_dataset(tmp_path, rng):
+    from nbss_tpu.data.spk4_wsj0_mix_sp import Spk4Wsj0MixSpDataset
+
+    wsj0 = tmp_path / "wsj0"
+    for spk in ("s1", "s2", "s3", "s4"):
+        d = wsj0 / "si_tr_s" / spk
+        d.mkdir(parents=True)
+        for u in range(2):
+            wav = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+            write_audio(str(d / f"{spk}u{u}.wav"), wav, 16000)
+    rd = tmp_path / "rirs4"
+    rd.mkdir()
+    rir = np.zeros((2, 4, 400), np.float32)
+    rir[:, :, 50] = 1.0
+    np.savez(rd / "r0.npz", speech_rir=rir, sr=16000)
+
+    ds = Spk4Wsj0MixSpDataset(
+        spks=("si_tr_s/s1", "si_tr_s/s2", "si_tr_s/s3", "si_tr_s/s4"),
+        wsj0_dir=str(wsj0), rir_dir=str(rd), audio_time_len="nmix 2")
+    assert len(ds) > 0
+    mix, ys, paras = ds[{"speech_index": 0, "rir_index": 0, "seed": 5}]
+    assert mix.shape == (4, 32000) and ys.shape == (2, 4, 32000)
+    assert np.isfinite(mix).all()
+    mix2, _, _ = ds[{"speech_index": 0, "rir_index": 0, "seed": 5}]
+    np.testing.assert_array_equal(mix, mix2)
+    # all overlap-spec modes parse
+    for atl in ("mix 2", "all-mix 2", "frontend 2", "mid 2", "headtail 2",
+                "min", "max", 2.0):
+        ds.audio_time_len = atl
+        m, y, p = ds[{"speech_index": 1, "rir_index": 0, "seed": 9}]
+        assert np.isfinite(m).all(), atl
