@@ -27,6 +27,7 @@ class DataModule:
     seeds: Tuple[Optional[int], ...] = (None, 2, 3, 3)
     num_replicas: Optional[int] = None  # default: jax process count
     rank: Optional[int] = None
+    num_workers: int = 0  # >0: threaded item fetch + batch prefetch
 
     def _make_dataset(self, stage_idx: int):
         raise NotImplementedError
@@ -49,6 +50,12 @@ class DataModule:
             rank=self.rank if self.rank is not None else jax.process_index(),
             last_epoch=epoch,
         )
+        if self.num_workers and self.num_workers > 0:
+            from nbss_tpu.data.prefetch import ThreadedLoader
+
+            return ThreadedLoader(ds, self._stage_batch_size(stage_idx), sampler,
+                                  num_workers=self.num_workers,
+                                  drop_last=(stage_idx == 0))
         return BatchLoader(ds, self._stage_batch_size(stage_idx), sampler,
                            drop_last=(stage_idx == 0))
 

@@ -19,6 +19,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -340,19 +341,15 @@ class MultiheadAttention(nn.Module):
         if fused:
             from nbss_tpu.ops.attention import narrowband_attention
 
-            def flat(t):  # [..., T, H] -> [N, T, dh] with (lead..., head) major
-                t = t.reshape(*lead, T, nh, dh)
-                t = jnp.moveaxis(t, -2, -3)  # [..., nh, T, dh]
-                return t.reshape(-1, T, dh)
-
             mask = attn_mask
             if mask is not None:
                 if mask.dtype == jnp.bool_:
                     mask = jnp.where(mask, jnp.float32(-1e30), jnp.float32(0.0))
                 mask = jnp.maximum(mask.astype(jnp.float32), -1e30)
-            out = narrowband_attention(flat(q), flat(k), flat(v), mask, nh)
-            out = out.reshape(*lead, nh, T, dh)
-            out = jnp.moveaxis(out, -3, -2).reshape(*lead, T, H)
+            M = int(np.prod(lead)) if lead else 1
+            out = narrowband_attention(q.reshape(M, T, H), k.reshape(M, T, H),
+                                       v.reshape(M, T, H), mask, nh)
+            out = out.reshape(*lead, T, H)
         else:
             def heads(t):
                 return t.reshape(*lead, T, nh, dh)

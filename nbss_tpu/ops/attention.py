@@ -1,16 +1,22 @@
 """Fused narrow-band attention (Pallas TPU kernel).
 
-SpatialNet attends over T (~251 frames) independently for each of B*F*heads
-~ 8k short sequences. The XLA path materializes the [N, T, T] fp32 logits in
-HBM (~2 GB per layer at the bench config) and is bandwidth-bound; this
-kernel keeps each sequence's [T, T] score matrix entirely in VMEM, so HBM
-traffic is just Q/K/V/O — measured ~10x faster than the einsum path on v5e.
+SpatialNet attends over T (~251 frames) independently for each of B*F
+~ 2k short sequences x nh heads. The XLA einsum path materializes the
+[N, nh, T, T] fp32 logits in HBM (~2 GB per layer at the bench config) and
+is bandwidth-bound; this kernel keeps each block's score matrices entirely
+in VMEM, so HBM traffic is just Q/K/V/O.
 
-Supports an optional additive mask, either shared [T, T] or per-head
-[nh, T, T] (causal-local / ALiBi masks of the online model). Backward is a
+Layout: the kernel consumes [M, T, H] (M = flattened batch, H = nh*dh)
+exactly as produced by the qkv projection — heads are static lane slices
+inside the kernel, and the per-block score/PV contractions are batched
+``dot_general``s over the M tile, so no transposes or reshapes are needed
+around the call.
+
+Supports an optional additive mask, shared [T, T] or per-head [nh, T, T]
+(causal-local / ALiBi masks of the online model). Backward is a
 jax.custom_vjp that recomputes attention with the reference einsum
 implementation (numerically identical math), so training gradients need no
-hand-written kernel while fwd/inference take the fast path.
+hand-written kernel while the forward half takes the fast path.
 """
 
 from __future__ import annotations
@@ -28,106 +34,104 @@ NEG_INF = -1e30
 
 
 def _attention_reference(q, k, v, mask, nh):
-    """[N, T, d] einsum attention (ground truth / backward path)."""
-    d = q.shape[-1]
-    logits = jnp.einsum("ntd,nsd->nts", q, k,
-                        preferred_element_type=jnp.float32) / math.sqrt(d)
+    """[M, T, H] multi-head einsum attention (ground truth / backward)."""
+    M, T, H = q.shape
+    dh = H // nh
+
+    def heads(t):
+        return t.reshape(M, T, nh, dh)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    logits = jnp.einsum("mqhd,mkhd->mhqk", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(dh)
     if mask is not None:
-        if mask.ndim == 3 and mask.shape[0] > 1:  # per-head [nh, T, T]
-            N = q.shape[0]
-            heads = jnp.arange(N) % nh
-            logits = logits + mask[heads]
-        else:
-            logits = logits + mask.reshape(mask.shape[-2:])[None]
+        m3 = mask if mask.ndim == 3 else mask[None]
+        logits = logits + m3[None].astype(jnp.float32)
     p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("nts,nsd->ntd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
+    out = jnp.einsum("mhqk,mkhd->mqhd", p, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(M, T, H)
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, nb, nh, scale, t_valid):
-    n0 = pl.program_id(0) * nb
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, nh, dh, scale, t_valid):
     Tp = q_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     pad_mask = jnp.where(col < t_valid, 0.0, NEG_INF).astype(jnp.float32)
-    for i in range(nb):
-        q = q_ref[i]
-        k = k_ref[i]
-        v = v_ref[i]
+    for h in range(nh):  # static unroll over heads; each head batched over M
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
         s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [mb, Tp, Tp]
         s = s + pad_mask
         if mask_ref is not None:
-            h = (n0 + i) % nh
-            s = s + mask_ref[h]
+            s = s + mask_ref[h if mask_ref.shape[0] > 1 else 0]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-        o_ref[i] = jax.lax.dot_general(
-            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        o_ref[:, :, sl] = jax.lax.dot_general(
+            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
-
-
-def _fused_forward(q, k, v, mask, nh, block_n):
-    N, T, d = q.shape
-    Tp = -(-T // 128) * 128  # pad T to a lane multiple
-    nb = block_n
-    Np = -(-N // nb) * nb
-
-    def pad(x):
-        return jnp.pad(x, ((0, Np - N), (0, Tp - T), (0, 0)))
-
-    qp, kp, vp = pad(q), pad(k), pad(v)
-    if mask is not None:
-        mask3 = mask if mask.ndim == 3 else mask[None]
-        mh = mask3.shape[0]
-        maskp = jnp.pad(mask3.astype(jnp.float32), ((0, 0), (0, Tp - T), (0, Tp - T)))
-        # padded key columns must stay masked; padded query rows are sliced off
-        in_specs_mask = [pl.BlockSpec((mh, Tp, Tp), lambda i: (0, 0, 0),
-                                      memory_space=pltpu.VMEM)]
-        operands = (qp, kp, vp, maskp)
-    else:
-        in_specs_mask = []
-        operands = (qp, kp, vp)
-
-    if mask is not None:
-        kernel = functools.partial(_kernel, nb=nb, nh=nh,
-                                   scale=1.0 / math.sqrt(d), t_valid=T)
-    else:
-        kernel = functools.partial(_kernel_nomask, nb=nb, nh=nh,
-                                   scale=1.0 / math.sqrt(d), t_valid=T)
-
-    grid = (Np // nb,)
-    qkv_spec = pl.BlockSpec((nb, Tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec] + in_specs_mask,
-        out_specs=pl.BlockSpec((nb, Tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np, Tp, d), q.dtype),
-        interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
-    )(*operands)
-    return out[:N, :T]
 
 
 def _kernel_nomask(q_ref, k_ref, v_ref, o_ref, **kw):
     _kernel(q_ref, k_ref, v_ref, None, o_ref, **kw)
 
 
+def _fused_forward(q, k, v, mask, nh, block_m):
+    M, T, H = q.shape
+    dh = H // nh
+    Tp = -(-T // 128) * 128  # pad T to a lane multiple
+    mb = block_m
+    Mp = -(-M // mb) * mb
+
+    def pad(x):
+        return jnp.pad(x, ((0, Mp - M), (0, Tp - T), (0, 0)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    if mask is not None:
+        mask3 = mask if mask.ndim == 3 else mask[None]
+        mh = mask3.shape[0]
+        maskp = jnp.pad(mask3.astype(jnp.float32), ((0, 0), (0, Tp - T), (0, Tp - T)))
+        in_specs_mask = [pl.BlockSpec((mh, Tp, Tp), lambda i: (0, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+        operands = (qp, kp, vp, maskp)
+        kernel = functools.partial(_kernel, nh=nh, dh=dh,
+                                   scale=1.0 / math.sqrt(dh), t_valid=T)
+    else:
+        in_specs_mask = []
+        operands = (qp, kp, vp)
+        kernel = functools.partial(_kernel_nomask, nh=nh, dh=dh,
+                                   scale=1.0 / math.sqrt(dh), t_valid=T)
+
+    spec = pl.BlockSpec((mb, Tp, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mp // mb,),
+        in_specs=[spec, spec, spec] + in_specs_mask,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, Tp, H), q.dtype),
+        interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
+    )(*operands)
+    return out[:M, :T]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def narrowband_attention(q, k, v, mask=None, nh: int = 1, block_n: int = 8):
-    """Fused attention over [N, T, d] narrow-band sequences.
+def narrowband_attention(q, k, v, mask=None, nh: int = 1, block_m: int = 8):
+    """Fused multi-head attention over [M, T, nh*dh] narrow-band sequences.
 
-    mask: optional additive mask, [T, T] or per-head [nh, T, T] (items are
-    assumed head-major-ordered so item n uses head n % nh).
+    mask: optional additive mask, [T, T] (shared) or [nh, T, T] (per head).
     """
-    return _fused_forward(q, k, v, mask, nh, block_n)
+    return _fused_forward(q, k, v, mask, nh, block_m)
 
 
-def _fwd(q, k, v, mask, nh, block_n):
-    return _fused_forward(q, k, v, mask, nh, block_n), (q, k, v)
+def _fwd(q, k, v, mask, nh, block_m):
+    return _fused_forward(q, k, v, mask, nh, block_m), (q, k, v)
 
 
-def _bwd(mask, nh, block_n, res, g):
+def _bwd(mask, nh, block_m, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v, mask, nh), q, k, v)
     return vjp(g)

@@ -173,6 +173,11 @@ class Trainer:
             self.logger("lr", new_lr, epoch)
             self.epoch = epoch + 1
             history["epoch_time"] = time.time() - t0
+            # epoch summary line (the reference's progress-bar epoch metric
+            # summary, my_rich_progress_bar.py:13-34)
+            vm = f" val/metric={val_metric:.4f}" if val_metric is not None else ""
+            print(f"epoch {epoch}: train/{self.module.loss.name}={train_loss:.4f}"
+                  f"{vm} lr={new_lr:.2e} ({history['epoch_time']:.1f}s)", flush=True)
 
             if self.early_stopping and val_metric is not None:
                 if self._should_stop(val_metric):

@@ -44,6 +44,7 @@ class TrainModule:
     norm: Norm = field(default_factory=lambda: Norm(mode="utterance"))
     loss: Loss = field(default_factory=lambda: Loss(name="neg_si_sdr", pit=True))
     val_metric: str = "loss"  # 'loss' | 'si_sdr' | 'sdr'
+    mchunk: Optional[Tuple[float, float]] = None  # (len_s, hop_s) chunked eval
 
     @property
     def ref_index(self) -> int:
@@ -108,12 +109,27 @@ class TrainModule:
         sdr_val = jnp.mean(M.sdr(yr_hat, yr))
         si_sdr_val = jnp.mean(M.si_sdr(yr_hat, yr))
         metric = {"loss": -loss, "si_sdr": si_sdr_val, "sdr": sdr_val}[self.val_metric]
-        return {
+        logs = {
             f"val/{self.loss.name}": loss,
             "val/metric": metric,
             "val/sdr": sdr_val,
             "val/neg_si_sdr": -si_sdr_val,
         }
+        if self.mchunk is not None:
+            # chunk-wise SI-SDR over (len, hop)-second windows
+            # (SharedTrainer.py:196-207; sample rate fixed by the stft preset)
+            fs = 8000 if self.stft.n_fft <= 256 else 16000
+            chunklen = int(self.mchunk[0] * fs)
+            B, Spk, T = yr.shape
+            n_chk = T // chunklen
+            if n_chk > 1:
+                yrc = yr[..., : n_chk * chunklen].reshape(B, Spk, n_chk, chunklen)
+                yhc = yr_hat[..., : n_chk * chunklen].reshape(B, Spk, n_chk, chunklen)
+                v = M.si_sdr(yhc, yrc).reshape(B * Spk, n_chk).mean(axis=0)
+                for i in range(n_chk):
+                    key = f"val/si_sdr_{i * self.mchunk[0] + 1:g}s-{(i + 1) * self.mchunk[0]:g}s"
+                    logs[key] = v[i]
+        return logs
 
     def test_step(self, params, batch) -> Dict[str, jnp.ndarray]:
         """Loss + scale-recovered predictions (SharedTrainer.py:221-273).

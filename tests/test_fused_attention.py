@@ -10,8 +10,8 @@ import jax.numpy as jnp
 from nbss_tpu.ops.attention import _attention_reference, narrowband_attention
 
 
-def _qkv(rng, N=12, T=37, d=24):
-    mk = lambda: jnp.asarray(rng.standard_normal((N, T, d)), jnp.float32)
+def _qkv(rng, M=6, T=37, H=48):
+    mk = lambda: jnp.asarray(rng.standard_normal((M, T, H)), jnp.float32)
     return mk(), mk(), mk()
 
 
@@ -34,7 +34,7 @@ def test_matches_reference_shared_mask(rng):
 
 def test_matches_reference_per_head_mask(rng):
     nh = 4
-    q, k, v = _qkv(rng, N=nh * 3)
+    q, k, v = _qkv(rng)
     T = q.shape[1]
     i = np.arange(T)
     rel = i[:, None] - i[None, :]
@@ -48,7 +48,7 @@ def test_matches_reference_per_head_mask(rng):
 
 
 def test_grad_flows(rng):
-    q, k, v = _qkv(rng, N=4, T=19)
+    q, k, v = _qkv(rng, M=4, T=19, H=32)
 
     def loss(q, k, v):
         return jnp.sum(narrowband_attention(q, k, v, None, 2, 4) ** 2)
@@ -63,8 +63,8 @@ def test_grad_flows(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
 
 
-def test_bf16_and_ragged_n(rng):
-    q, k, v = _qkv(rng, N=10, T=33)  # N not divisible by block
+def test_bf16_and_ragged_m(rng):
+    q, k, v = _qkv(rng, M=10, T=33, H=48)  # M not divisible by block
     q = q.astype(jnp.bfloat16)
     k = k.astype(jnp.bfloat16)
     v = v.astype(jnp.bfloat16)
@@ -73,3 +73,23 @@ def test_bf16_and_ragged_n(rng):
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_mha_module_fused_equals_einsum(rng):
+    """MultiheadAttention with fused=True (interpret) == fused=False."""
+    from nbss_tpu.models.base import MultiheadAttention
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 21, 32)), jnp.float32)
+    m_f = MultiheadAttention(num_heads=4, fused=True)
+    m_e = MultiheadAttention(num_heads=4, fused=False)
+    params = m_f.init(jax.random.PRNGKey(0), x)
+    y_f = m_f.apply(params, x)
+    y_e = m_e.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_e), atol=2e-5, rtol=1e-4)
+
+    T = x.shape[2]
+    i = np.arange(T)
+    mask = jnp.asarray(np.where(i[:, None] >= i[None, :], 0.0, -1e30), jnp.float32)
+    y_f = m_f.apply(params, x, attn_mask=mask)
+    y_e = m_e.apply(params, x, attn_mask=mask)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_e), atol=2e-5, rtol=1e-4)

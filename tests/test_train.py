@@ -129,3 +129,37 @@ def test_sampler_determinism():
     assert sorted(sum(parts, []))[:10] != []
     assert {i for p in parts for i in p} == set(range(10))
     assert all(len(p) == 3 for p in parts)
+
+
+def test_threaded_loader_matches_plain(ds):
+    from nbss_tpu.data.prefetch import ThreadedLoader
+    from nbss_tpu.data.sampler import BatchLoader, DistributedSampler
+
+    s1 = DistributedSampler(len(ds), seed=5, shuffle=True, last_epoch=0)
+    s2 = DistributedSampler(len(ds), seed=5, shuffle=True, last_epoch=0)
+    plain = list(BatchLoader(ds, 4, s1))
+    threaded = list(ThreadedLoader(ds, 4, s2, num_workers=3))
+    assert len(plain) == len(threaded)
+    for (x1, y1, p1), (x2, y2, p2) in zip(plain, threaded):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+
+
+def test_validation_mchunk(ds, cpu_devices):
+    module = tiny_module()
+    import dataclasses
+
+    module = dataclasses.replace(module, mchunk=(0.2, 0.2))
+    x, ys, _ = next(iter(__import__("nbss_tpu.data", fromlist=["BatchLoader"]).BatchLoader(
+        ds, 4, __import__("nbss_tpu.data", fromlist=["DistributedSampler"]).DistributedSampler(
+            len(ds), seed=3, shuffle=False))))
+    import jax, jax.numpy as jnp
+
+    params = None
+    trainer = Trainer(module, mesh=make_mesh(4))
+    trainer.init(np.stack([ds[(0, 0)][0]]))
+    logs = trainer._val_step if False else None
+    trainer._build_steps()
+    out = trainer._val_step(trainer.params, (jnp.asarray(x), jnp.asarray(ys)))
+    chunk_keys = [k for k in out if "si_sdr_" in k]
+    assert len(chunk_keys) == 2, list(out)
