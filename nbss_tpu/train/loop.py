@@ -38,6 +38,7 @@ class Trainer:
         logger: Optional[Callable[[str, float, int], None]] = None,
         val_metric_mode: str = "max",
         early_stopping: Optional[Dict[str, Any]] = None,
+        detect_unused_parameters: bool = False,
     ):
         """early_stopping: {'monitor': 'val/metric', 'patience': 10,
         'mode': 'max', 'min_delta': 0.1} — reference TrainCLI defaults
@@ -55,6 +56,7 @@ class Trainer:
         self.logger = logger or (lambda k, v, step: None)
         self.val_metric_mode = val_metric_mode
         self.early_stopping = early_stopping
+        self.detect_unused_parameters = detect_unused_parameters
         self.epoch = 0
         self._train_step = None
         self._val_step = None
@@ -132,6 +134,7 @@ class Trainer:
             self._build_steps()
         rng = jax.random.PRNGKey(self.seed)
         history: Dict[str, float] = {}
+        checked_unused = self.epoch > 0 or not self.detect_unused_parameters
 
         for epoch in range(self.epoch, max_epochs):
             t0 = time.time()
@@ -143,6 +146,9 @@ class Trainer:
                 x, ys = jnp.asarray(batch[0]), jnp.asarray(batch[1])
                 sb = shard_batch(self.mesh, (x, ys))
                 rng, sub = jax.random.split(rng)
+                if not checked_unused:
+                    self._warn_unused_parameters(sb, sub)
+                    checked_unused = True
                 self.params, self.opt_state, loss = self._train_step(
                     self.params, self.opt_state, sb, sub
                 )
@@ -183,6 +189,20 @@ class Trainer:
                 if self._should_stop(val_metric):
                     break
         return history
+
+    def _warn_unused_parameters(self, batch, rng) -> None:
+        """Epoch-0 zero-gradient parameter detector (the reference's
+        on_after_backward debug aid, SharedTrainer.py:333-341)."""
+        import warnings
+
+        grads = jax.grad(lambda p: self.module.training_step(
+            p, batch, rngs={"dropout": rng}))(self.params)
+        flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+        for path, g in flat:
+            if float(jnp.max(jnp.abs(g))) == 0.0:
+                warnings.warn(
+                    "unused parameter (check code or freeze it): "
+                    + jax.tree_util.keystr(path))
 
     def _should_stop(self, monitored: float) -> bool:
         es = self.early_stopping

@@ -163,3 +163,33 @@ def test_validation_mchunk(ds, cpu_devices):
     out = trainer._val_step(trainer.params, (jnp.asarray(x), jnp.asarray(ys)))
     chunk_keys = [k for k in out if "si_sdr_" in k]
     assert len(chunk_keys) == 2, list(out)
+
+
+def test_unused_parameter_warning(ds, cpu_devices):
+    import warnings
+    import flax.linen as nn
+
+    class ArchWithUnused(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            y = nn.Dense(4)(x)
+            self.param("orphan", nn.initializers.ones, (3,))  # never used
+            return y
+
+    module = TrainModule(
+        arch=ArchWithUnused(), channels=(0, 1), ref_channel=0,
+        stft=STFT(n_fft=128, n_hop=64), norm=Norm(mode="frequency"),
+        loss=Loss(name="neg_si_sdr", pit=True))
+    trainer = Trainer(module, mesh=make_mesh(4), detect_unused_parameters=True)
+    x0, _, _ = ds[(0, 0)]
+    trainer.init(np.stack([x0]))
+
+    def loader():
+        sampler = DistributedSampler(len(ds), seed=1, shuffle=False)
+        return iter(BatchLoader(ds, batch_size=4, sampler=sampler))
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        trainer.fit(loader, max_epochs=1, steps_per_epoch=1)
+    assert any("unused parameter" in str(x.message) and "orphan" in str(x.message)
+               for x in w), [str(x.message) for x in w]
