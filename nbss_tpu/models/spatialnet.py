@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -51,6 +52,7 @@ class SpatialNetLayer(nn.Module):
     norms: Sequence[str] = ("LN", "LN", "GN", "LN", "LN", "LN")
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    fused_ffn: Optional[bool] = None  # None = auto (TPU backend only)
 
     def setup(self):
         H, FF = self.dim_hidden, self.dim_ffn
@@ -129,7 +131,39 @@ class SpatialNetLayer(nn.Module):
 
     def _tconvffn(self, x):
         """Temporal conv-FFN (SpatialNet.py:61-73,102-114): 1x1 up, three
-        grouped temporal convs with a mid GroupNorm, 1x1 down."""
+        grouped temporal convs with a mid GroupNorm, 1x1 down. On TPU the
+        whole chain runs as one fused Pallas kernel (ops.tconvffn) when the
+        default norms (LN, mid GN) are in use."""
+        fused = self.fused_ffn
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        fused = (fused and not self.is_initializing()
+                 and self.norms[1].upper() == "LN" and self.norms[2].upper() == "GN"
+                 and self.kernel_size[1] == 3)
+        if fused:
+            from nbss_tpu.ops.tconvffn import expand_grouped_kernel, fused_tconvffn
+
+            B, F, T, H = x.shape
+            v = lambda m: m.variables["params"]
+            groups = self.conv_groups[1]
+            p = {
+                "ln_scale": v(self.tconvffn_norm)["scale"],
+                "ln_bias": v(self.tconvffn_norm)["bias"],
+                "w_up": v(self.tconvffn_up)["Dense_0"]["kernel"],
+                "b_up": v(self.tconvffn_up)["Dense_0"]["bias"],
+                "w_c1": expand_grouped_kernel(v(self.tconvffn_conv1)["Conv_0"]["kernel"], groups),
+                "b_c1": v(self.tconvffn_conv1)["Conv_0"]["bias"],
+                "w_c2": expand_grouped_kernel(v(self.tconvffn_conv2)["Conv_0"]["kernel"], groups),
+                "b_c2": v(self.tconvffn_conv2)["Conv_0"]["bias"],
+                "gn_scale": v(self.tconvffn_midnorm)["scale"],
+                "gn_bias": v(self.tconvffn_midnorm)["bias"],
+                "w_c3": expand_grouped_kernel(v(self.tconvffn_conv3)["Conv_0"]["kernel"], groups),
+                "b_c3": v(self.tconvffn_conv3)["Conv_0"]["bias"],
+                "w_down": v(self.tconvffn_down)["Dense_0"]["kernel"],
+                "b_down": v(self.tconvffn_down)["Dense_0"]["bias"],
+            }
+            y = fused_tconvffn(x.reshape(B * F, T, H), p, groups)
+            return y.reshape(B, F, T, H)
         y = self.tconvffn_norm(x)
         y = nn.silu(self.tconvffn_up(y))
         y = nn.silu(self.tconvffn_conv1(y))
@@ -159,6 +193,7 @@ class SpatialNet(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    fused_ffn: Optional[bool] = None  # None = auto (TPU backend only)
 
     def setup(self):
         self.encoder = Conv1d(self.dim_hidden, self.encoder_kernel_size,
@@ -177,6 +212,7 @@ class SpatialNet(nn.Module):
                 norms=self.norms,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                fused_ffn=self.fused_ffn,
                 name=f"layer_{l}",
             )
             for l in range(self.num_layers)

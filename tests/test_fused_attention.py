@@ -93,3 +93,51 @@ def test_mha_module_fused_equals_einsum(rng):
     y_f = m_f.apply(params, x, attn_mask=mask)
     y_e = m_e.apply(params, x, attn_mask=mask)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_e), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_tconvffn_matches_reference(rng):
+    import jax
+    import jax.numpy as jnp
+    from nbss_tpu.ops.tconvffn import _ref_tconvffn, expand_grouped_kernel, fused_tconvffn
+
+    M, T, H, FF, G = 6, 29, 32, 64, 8
+    x = jnp.asarray(rng.standard_normal((M, T, H)), jnp.float32)
+    p = {
+        "ln_scale": jnp.asarray(rng.standard_normal(H) * 0.1 + 1, jnp.float32),
+        "ln_bias": jnp.asarray(rng.standard_normal(H) * 0.1, jnp.float32),
+        "w_up": jnp.asarray(rng.standard_normal((H, FF)) * 0.2, jnp.float32),
+        "b_up": jnp.asarray(rng.standard_normal(FF) * 0.1, jnp.float32),
+        "gn_scale": jnp.asarray(rng.standard_normal(FF) * 0.1 + 1, jnp.float32),
+        "gn_bias": jnp.asarray(rng.standard_normal(FF) * 0.1, jnp.float32),
+        "w_down": jnp.asarray(rng.standard_normal((FF, H)) * 0.2, jnp.float32),
+        "b_down": jnp.asarray(rng.standard_normal(H) * 0.1, jnp.float32),
+    }
+    for c in ("c1", "c2", "c3"):
+        grouped = jnp.asarray(rng.standard_normal((3, FF // G, FF)) * 0.2, jnp.float32)
+        p[f"w_{c}"] = expand_grouped_kernel(grouped, G)
+        p[f"b_{c}"] = jnp.asarray(rng.standard_normal(FF) * 0.1, jnp.float32)
+
+    out = fused_tconvffn(x, p, G, 4)
+    ref = _ref_tconvffn(x, p, G)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)
+
+    # grads flow through the custom_vjp
+    g = jax.grad(lambda x: jnp.sum(fused_tconvffn(x, p, G, 4) ** 2))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(_ref_tconvffn(x, p, G) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-3, rtol=1e-2)
+
+
+def test_spatialnet_fused_ffn_matches_unfused(rng):
+    import jax
+    import jax.numpy as jnp
+    from nbss_tpu.models.spatialnet import SpatialNet
+
+    kw = dict(dim_input=4, dim_output=4, num_layers=1, dim_hidden=32, dim_ffn=64,
+              num_heads=2, dim_squeeze=4, num_freqs=9, full_share=0)
+    m_f = SpatialNet(**kw, fused_ffn=True)
+    m_u = SpatialNet(**kw, fused_ffn=False)
+    x = jnp.asarray(rng.standard_normal((2, 9, 17, 4)), jnp.float32)
+    params = m_u.init(jax.random.PRNGKey(0), x)
+    y_u = m_u.apply(params, x)
+    y_f = m_f.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u), atol=1e-4, rtol=1e-3)
