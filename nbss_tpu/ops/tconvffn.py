@@ -70,55 +70,80 @@ def _ref_tconvffn(x, p, groups: int, eps: float = 1e-5):
     return y @ p["w_down"].astype(y.dtype) + p["b_down"].astype(y.dtype)
 
 
+def _silu(a):
+    # manual fp32 silu: Mosaic's bf16 logistic lowering broadcasts an f32
+    # constant into a bf16 vector and fails verification
+    a32 = a.astype(jnp.float32)
+    return (a32 / (1.0 + jnp.exp(-a32))).astype(a.dtype)
+
+
 def _kernel(x_ref, ln_s, ln_b, w_up, b_up, w_c1, b_c1, w_c2, b_c2,
             gn_s, gn_b, w_c3, b_c3, w_down, b_down, o_ref,
             *, groups, t_valid, eps=1e-5):
+    # all weight/bias refs are pre-cast to x.dtype by the caller (in-kernel
+    # dtype casts of broadcasts trip a Mosaic verifier bug)
     x = x_ref[...]  # [mb, Tp, H]
     mb, Tp, H = x.shape
     FF = w_up.shape[-1]
     dt = x.dtype
 
     row = jax.lax.broadcasted_iota(jnp.int32, (1, Tp, 1), 1)
-    valid = (row < t_valid).astype(jnp.float32)  # [1, Tp, 1]
+    valid32 = (row < t_valid).astype(jnp.float32)  # [1, Tp, 1]
+    valid = valid32.astype(dt)
 
     # LayerNorm over H (fp32 stats)
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, -1, keepdims=True)
     var = jnp.mean(x32 * x32, -1, keepdims=True) - mu * mu
     y = ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(dt)
-    y = y * ln_s[...].astype(dt) + ln_b[...].astype(dt)
+    y = y * ln_s[...] + ln_b[...]
 
     def mm(a, w):  # [mb, Tp, Ci] @ [Ci, Co]
         return jax.lax.dot_general(
-            a, w[...].astype(dt), dimension_numbers=(((2,), (0,)), ((), ())),
+            a, w[...], dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dt)
 
     def conv(a, w3, b):
         zero = jnp.zeros_like(a[:, :1])
         prev = jnp.concatenate([zero, a[:, :-1]], axis=1)
         nxt = jnp.concatenate([a[:, 1:], zero], axis=1)
-        return mm(prev, w3[0]) + mm(a, w3[1]) + mm(nxt, w3[2]) + b[...].astype(dt)
+        return mm(prev, w3[0]) + mm(a, w3[1]) + mm(nxt, w3[2]) + b[...]
 
-    y = jax.nn.silu(mm(y, w_up) + b_up[...].astype(dt))
-    y = y * valid.astype(dt)  # zero padded frames so convs/GN stay exact
-    y = jax.nn.silu(conv(y, w_c1, b_c1))
-    y = y * valid.astype(dt)
+    y = _silu(mm(y, w_up) + b_up[...])
+    y = y * valid  # zero padded frames so convs/GN stay exact
+    y = _silu(conv(y, w_c1, b_c1))
+    y = y * valid
     y = conv(y, w_c2, b_c2)
 
-    # GroupNorm: per (m, group) stats over (valid T, channels-in-group)
+    # GroupNorm: per (m, group) stats over (valid T, channels-in-group).
+    # Group reductions/broadcasts via one-hot matmuls — Mosaic cannot split
+    # the lane dim with a [.., FF] -> [.., G, FF/G] reshape.
     cpg = FF // groups
-    y32 = y.astype(jnp.float32) * valid
-    yg = y32.reshape(mb, Tp, groups, cpg)
-    denom = t_valid * cpg
-    mu = jnp.sum(yg, axis=(1, 3), keepdims=True) / denom
-    var = jnp.sum(yg * yg, axis=(1, 3), keepdims=True) / denom - mu * mu
-    yg = (yg - mu) * jax.lax.rsqrt(var + eps)
-    y = yg.reshape(mb, Tp, FF).astype(dt)
-    y = y * gn_s[...].astype(dt) + gn_b[...].astype(dt)
-    y = jax.nn.silu(y)
-    y = y * valid.astype(dt)
-    y = jax.nn.silu(conv(y, w_c3, b_c3))
-    o_ref[...] = mm(y, w_down) + b_down[...].astype(dt)
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (FF, groups), 0) // cpg
+    grp_ids = jax.lax.broadcasted_iota(jnp.int32, (FF, groups), 1)
+    onehot = (ch_group == grp_ids).astype(jnp.float32)  # [FF, G]
+    y32 = y.astype(jnp.float32) * valid32
+    denom = float(t_valid * cpg)
+
+    def gsum(a):  # [mb, Tp, FF] -> [mb, 1, G]
+        s = jax.lax.dot_general(a, onehot, dimension_numbers=(((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return jnp.sum(s, axis=1, keepdims=True)
+
+    def gbcast(a):  # [mb, 1, G] -> [mb, 1, FF]
+        return jax.lax.dot_general(a, onehot.T, dimension_numbers=(((2,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    mu_g = gsum(y32) / denom
+    var_g = gsum(y32 * y32) / denom - mu_g * mu_g
+    mu_c = gbcast(mu_g)
+    rstd_c = gbcast(jax.lax.rsqrt(var_g + eps))
+    y = ((y32 - mu_c) * rstd_c).astype(dt)
+    y = y * gn_s[...] + gn_b[...]
+    y = _silu(y)
+    y = y * valid
+    y = _silu(conv(y, w_c3, b_c3))
+    o_ref[...] = mm(y, w_down) + b_down[...]
 
 
 def _fused_forward(x, p, groups, block_m):
@@ -128,6 +153,7 @@ def _fused_forward(x, p, groups, block_m):
     mb = block_m
     Mp = -(-M // mb) * mb
     xp = jnp.pad(x, ((0, Mp - M), (0, Tp - T), (0, 0)))
+    p = {k: v.astype(x.dtype) for k, v in p.items()}  # pre-cast for the kernel
 
     def vec_spec(n):
         return pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
