@@ -175,9 +175,12 @@ class OnlineSpatialNetLayer(nn.Module):
     def __call__(self, x, full: nn.Module, rel_pos, deterministic: bool = True,
                  chunkwise_recurrent: bool = True, rope: Union[bool, str] = False,
                  recurrent: bool = False):
-        x = x + self._fconv(self.fconv1_norm, self.fconv1_conv, self.fconv1_act, x)
-        x = x + self._full(x, full, deterministic)
-        x = x + self._fconv(self.fconv2_norm, self.fconv2_conv, self.fconv2_act, x)
+        # cross-band block in [B, T, F, H] with one transpose in/out
+        xt = jnp.swapaxes(x, 1, 2)
+        xt = xt + self._fconv(self.fconv1_norm, self.fconv1_conv, self.fconv1_act, xt)
+        xt = xt + self._full(xt, full, deterministic)
+        xt = xt + self._fconv(self.fconv2_norm, self.fconv2_conv, self.fconv2_act, xt)
+        x = jnp.swapaxes(xt, 1, 2)
         x = x + self.dropout_mhsa(
             self._time_module(x, rel_pos, chunkwise_recurrent, rope, recurrent),
             deterministic=deterministic)
@@ -210,15 +213,11 @@ class OnlineSpatialNetLayer(nn.Module):
         y = nn.silu(self.tconvffn_conv3(y))
         return self.tconvffn_down(y)
 
-    def _fconv(self, norm, conv, act, x):
-        y = norm(x)
-        y = jnp.swapaxes(y, 1, 2)
-        y = act(conv(y))
-        return jnp.swapaxes(y, 1, 2)
+    def _fconv(self, norm, conv, act, xt):
+        return act(conv(norm(xt)))  # xt: [B, T, F, H]
 
-    def _full(self, x, full, deterministic):
-        y = self.norm_full(x)
-        y = jnp.swapaxes(y, 1, 2)  # [B,T,F,H]
+    def _full(self, xt, full, deterministic):
+        y = self.norm_full(xt)  # [B,T,F,H]
         y = nn.silu(self.squeeze(y))
         if self.dropout[2] > 0:
             B, T, F, S = y.shape
@@ -228,8 +227,7 @@ class OnlineSpatialNetLayer(nn.Module):
         y = jnp.swapaxes(y, -1, -2)
         y = full(y)
         y = jnp.swapaxes(y, -1, -2)
-        y = nn.silu(self.unsqueeze(y))
-        return jnp.swapaxes(y, 1, 2)
+        return nn.silu(self.unsqueeze(y))
 
 
 class OnlineSpatialNet(nn.Module):

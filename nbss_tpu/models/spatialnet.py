@@ -90,27 +90,29 @@ class SpatialNetLayer(nn.Module):
 
     def __call__(self, x, full: nn.Module, deterministic: bool = True,
                  att_mask: Optional[jnp.ndarray] = None):
-        """x: [B, F, T, H] -> [B, F, T, H]."""
-        x = x + self._fconv(self.fconv1_norm, self.fconv1_conv, self.fconv1_act, x)
-        x = x + self._full(x, full, deterministic)
-        x = x + self._fconv(self.fconv2_norm, self.fconv2_conv, self.fconv2_act, x)
+        """x: [B, F, T, H] -> [B, F, T, H].
+
+        The whole cross-band block runs in [B, T, F, H] layout with a single
+        transpose in/out (all three sub-blocks operate along F), instead of
+        transposing around each sub-block."""
+        xt = jnp.swapaxes(x, 1, 2)  # [B, T, F, H]
+        xt = xt + self._fconv(self.fconv1_norm, self.fconv1_conv, self.fconv1_act, xt)
+        xt = xt + self._full(xt, full, deterministic)
+        xt = xt + self._fconv(self.fconv2_norm, self.fconv2_conv, self.fconv2_act, xt)
+        x = jnp.swapaxes(xt, 1, 2)  # [B, F, T, H]
         x = x + self.dropout_mhsa(self._tsa(x, att_mask), deterministic=deterministic)
         x = x + self.dropout_tconvffn(self._tconvffn(x), deterministic=deterministic)
         return x
 
-    def _fconv(self, norm, conv, act, x):
+    def _fconv(self, norm, conv, act, xt):
         """Frequency-convolutional module (SpatialNet.py:116-127): LN over H,
-        grouped conv along F at each frame, PReLU."""
-        y = norm(x)
-        y = jnp.swapaxes(y, 1, 2)  # [B, T, F, H]
-        y = act(conv(y))
-        return jnp.swapaxes(y, 1, 2)
+        grouped conv along F at each frame, PReLU. xt: [B, T, F, H]."""
+        return act(conv(norm(xt)))
 
-    def _full(self, x, full, deterministic):
+    def _full(self, xt, full, deterministic):
         """Full-band linear module (SpatialNet.py:129-146): squeeze H->S,
-        per-squeezed-channel F->F dense map, unsqueeze S->H."""
-        y = self.norm_full(x)
-        y = jnp.swapaxes(y, 1, 2)  # [B, T, F, H]
+        per-squeezed-channel F->F dense map, unsqueeze S->H. xt: [B,T,F,H]."""
+        y = self.norm_full(xt)
         y = nn.silu(self.squeeze(y))  # [B, T, F, S]
         if self.dropout[2] > 0:
             # drop entire frequencies of an utterance (Dropout2d on [B,F,...])
@@ -120,8 +122,7 @@ class SpatialNetLayer(nn.Module):
         y = jnp.swapaxes(y, -1, -2)  # [B, T, S, F]
         y = full(y)  # LinearGroup over F per squeezed channel
         y = jnp.swapaxes(y, -1, -2)  # [B, T, F, S]
-        y = nn.silu(self.unsqueeze(y))  # [B, T, F, H]
-        return jnp.swapaxes(y, 1, 2)
+        return nn.silu(self.unsqueeze(y))  # [B, T, F, H]
 
     def _tsa(self, x, att_mask):
         """Narrow-band MHSA over T, each (batch, frequency) an independent
