@@ -52,7 +52,7 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     length eval utterances) are replicated instead."""
     sharded = batch_sharding(mesh, axis)
     repl = replicated(mesh)
-    n = mesh.devices.size
+    n = mesh.shape[axis]  # size of the batch axis (mesh may be multi-axis)
 
     def put(x):
         sh = sharded if (x.ndim > 0 and x.shape[0] % n == 0) else repl

@@ -43,8 +43,12 @@ class Trainer:
         """early_stopping: {'monitor': 'val/metric', 'patience': 10,
         'mode': 'max', 'min_delta': 0.1} — reference TrainCLI defaults
         (SharedTrainer.py:348-356), disabled when None."""
-        self.module = module
         self.mesh = mesh if mesh is not None else make_mesh()
+        if "freq" in self.mesh.axis_names and module.freq_axis is None:
+            import dataclasses
+
+            module = dataclasses.replace(module, freq_axis="freq")
+        self.module = module
         self.tx = build_optimizer(optimizer[0], optimizer[1], gradient_clip_val)
         lr0 = optimizer[1].get("lr", 1e-3)
         self.lr_schedule = LRSchedule(
@@ -149,9 +153,10 @@ class Trainer:
                 if not checked_unused:
                     self._warn_unused_parameters(sb, sub)
                     checked_unused = True
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, sb, sub
-                )
+                with self.mesh:  # mesh context for PartitionSpec constraints
+                    self.params, self.opt_state, loss = self._train_step(
+                        self.params, self.opt_state, sb, sub
+                    )
                 losses.append(loss)
                 if (step + 1) % log_every == 0:
                     self.logger(f"train/{self.module.loss.name}", float(loss), epoch)
@@ -229,7 +234,8 @@ class Trainer:
         for batch in it:
             x, ys = jnp.asarray(batch[0]), jnp.asarray(batch[1])
             sb = shard_batch(self.mesh, (x, ys))
-            logs = self._val_step(self.params, sb)
+            with self.mesh:
+                logs = self._val_step(self.params, sb)
             for k, v in logs.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1

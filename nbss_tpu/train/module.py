@@ -45,6 +45,11 @@ class TrainModule:
     loss: Loss = field(default_factory=lambda: Loss(name="neg_si_sdr", pit=True))
     val_metric: str = "loss"  # 'loss' | 'si_sdr' | 'sdr'
     mchunk: Optional[Tuple[float, float]] = None  # (len_s, hop_s) chunked eval
+    # optional activation sharding over a 'freq' mesh axis: narrow-band models
+    # are embarrassingly parallel over F (SURVEY.md §2.8); GSPMD inserts the
+    # all-gathers the cross-band blocks need. Set by Trainer when its mesh has
+    # a 'freq' axis.
+    freq_axis: Optional[str] = None
 
     @property
     def ref_index(self) -> int:
@@ -69,6 +74,11 @@ class TrainModule:
         # [B,C,F,T] -> [B,F,T,C] -> interleave re/im -> [B,F,T,2C]
         Xin = jnp.transpose(X, (0, 2, 3, 1))
         Xin = jnp.stack([Xin.real, Xin.imag], axis=-1).reshape(B, F, T, 2 * C)
+        if self.freq_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            Xin = jax.lax.with_sharding_constraint(
+                Xin, P("data", self.freq_axis, None, None))
 
         out = self.arch.apply(params, Xin, deterministic=deterministic, rngs=rngs)
         if not jnp.iscomplexobj(out):
