@@ -40,3 +40,39 @@ def libricss_array() -> np.ndarray:
     pos = np.zeros((7, 3))
     pos[1:] = circular_array(radius=0.0425, mic_num=6)
     return pos
+
+
+def audiowu_high_array() -> np.ndarray:
+    """Westlake audio-lab high-resolution 32-mic array: three concentric
+    8-mic rings (3/6/9 cm), an x-axis arm, and a vertical z arm
+    (generate_rirs.py:280-296)."""
+    R = 0.03
+    pos = np.zeros((32, 3))
+    pos[:8] = circular_array(radius=R, mic_num=8)
+    pos[8:16] = circular_array(radius=R * 2, mic_num=8)
+    pos[16:24] = circular_array(radius=R * 3, mic_num=8)
+    pos[25] = [R * 4, 0, 0]
+    pos[26] = [R * 5, 0, 0]
+    pos[27] = [-R * 4, 0, 0]
+    L = 0.045
+    pos[28] = [0, 0, L]
+    pos[29] = [0, 0, L * 2]
+    pos[30] = [0, 0, -L]
+    pos[31] = [0, 0, -L * 2]
+    return pos
+
+
+def audiowu_low_array() -> np.ndarray:
+    """Westlake audio-lab 16-mic planar array: 8-mic ring (3 cm) plus x/y
+    arms (generate_rirs.py:299-313)."""
+    R = L = 0.03
+    pos = np.zeros((16, 3))
+    pos[:8] = circular_array(radius=R, mic_num=8)
+    pos[9] = [L * 2, 0, 0]
+    pos[10] = [L * 3, 0, 0]
+    pos[11] = [L * 4, 0, 0]
+    pos[12] = [-L * 2, 0, 0]
+    pos[13] = [-L * 3, 0, 0]
+    pos[14] = [0, L * 2, 0]
+    pos[15] = [0, -L * 2, 0]
+    return pos

@@ -17,6 +17,8 @@ from typing import List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from nbss_tpu.data.geometry import (
+    audiowu_high_array,
+    audiowu_low_array,
     chime3_array,
     circular_array,
     libricss_array,
@@ -62,6 +64,10 @@ def _make_geometry(name: str, radius: Optional[float], mic_num: int) -> np.ndarr
         return chime3_array()
     if name == "libricss":
         return libricss_array()
+    if name == "audiowu_high":
+        return audiowu_high_array()
+    if name == "audiowu_low":
+        return audiowu_low_array()
     raise KeyError(name)
 
 
@@ -104,6 +110,10 @@ class RirConfigSampler:
             self.arr_radius, self.mic_num = (0.0425, 0.0425), 7
         if g == "chime3":
             self.arr_radius, self.mic_num = None, 6
+        if g == "audiowu_high":
+            self.arr_radius, self.mic_num = None, 32
+        if g == "audiowu_low":
+            self.arr_radius, self.mic_num = None, 16
         if self.trajectory is not None:
             # moving sources keep at least this distance from the array
             if self.arr_radius is None:

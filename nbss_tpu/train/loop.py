@@ -39,7 +39,13 @@ class Trainer:
         val_metric_mode: str = "max",
         early_stopping: Optional[Dict[str, Any]] = None,
         detect_unused_parameters: bool = False,
+        val_host_metrics: Optional[Sequence[str]] = None,
+        val_host_metrics_every: int = 5,
+        val_host_metrics_batches: int = 8,
     ):
+        """val_host_metrics: e.g. ('NB_PESQ', 'STOI') — heavy host-side
+        metrics computed on a few validation batches every N epochs (the
+        reference's every-5-epoch mp.Pool PESQ, general_steps.py:20-48)."""
         """early_stopping: {'monitor': 'val/metric', 'patience': 10,
         'mode': 'max', 'min_delta': 0.1} — reference TrainCLI defaults
         (SharedTrainer.py:348-356), disabled when None."""
@@ -61,6 +67,9 @@ class Trainer:
         self.val_metric_mode = val_metric_mode
         self.early_stopping = early_stopping
         self.detect_unused_parameters = detect_unused_parameters
+        self.val_host_metrics = tuple(val_host_metrics) if val_host_metrics else None
+        self.val_host_metrics_every = val_host_metrics_every
+        self.val_host_metrics_batches = val_host_metrics_batches
         self.epoch = 0
         self._train_step = None
         self._val_step = None
@@ -167,6 +176,9 @@ class Trainer:
             val_metric = None
             if val_data is not None:
                 val_logs = self.validate(val_data)
+                if (self.val_host_metrics
+                        and (epoch + 1) % self.val_host_metrics_every == 0):
+                    val_logs.update(self._host_metrics(val_data))
                 for k, v in val_logs.items():
                     self.logger(k, v, epoch)
                 history.update(val_logs)
@@ -194,6 +206,35 @@ class Trainer:
                 if self._should_stop(val_metric):
                     break
         return history
+
+    def _host_metrics(self, val_data) -> Dict[str, float]:
+        """Heavy host metrics (PESQ/STOI/...) on a few validation batches."""
+        import numpy as np
+
+        from nbss_tpu.eval.metrics import cal_metrics
+
+        if self._val_step is None:
+            self._build_steps()
+        predict = jax.jit(lambda p, x: self.module.predict_step(
+            p, x, norm_if_exceed_1=False))
+        it = val_data() if callable(val_data) else iter(val_data)
+        sums: Dict[str, float] = {}
+        counts: Dict[str, int] = {}
+        for bi, batch in enumerate(it):
+            if bi >= self.val_host_metrics_batches:
+                break
+            x, ys, paras = batch[0], batch[1], batch[2] if len(batch) > 2 else [{}]
+            fs = paras[0].get("sample_rate", 8000) if paras else 8000
+            yhat = np.asarray(predict(self.params, jnp.asarray(x)))
+            yr = np.asarray(ys[:, :, self.module.ref_channel, :])
+            for b in range(yhat.shape[0]):
+                m, _, _ = cal_metrics(self.val_host_metrics, yhat[b], yr[b],
+                                      yr[b], fs, device_only="host")
+                for k, v in m.items():
+                    if v is not None:
+                        sums[k] = sums.get(k, 0.0) + v
+                        counts[k] = counts.get(k, 0) + 1
+        return {f"val/{k}": sums[k] / counts[k] for k in sums}
 
     def _warn_unused_parameters(self, batch, rng) -> None:
         """Epoch-0 zero-gradient parameter detector (the reference's

@@ -193,3 +193,20 @@ def test_unused_parameter_warning(ds, cpu_devices):
         trainer.fit(loader, max_epochs=1, steps_per_epoch=1)
     assert any("unused parameter" in str(x.message) and "orphan" in str(x.message)
                for x in w), [str(x.message) for x in w]
+
+
+def test_val_host_metrics(ds, cpu_devices):
+    module = tiny_module()
+    trainer = Trainer(module, mesh=make_mesh(4),
+                      val_host_metrics=("STOI",), val_host_metrics_every=1,
+                      val_host_metrics_batches=1)
+    x0, _, _ = ds[(0, 0)]
+    trainer.init(np.stack([x0]))
+
+    def loader():
+        sampler = DistributedSampler(len(ds), seed=1, shuffle=False)
+        return iter(BatchLoader(ds, batch_size=4, sampler=sampler))
+
+    h = trainer.fit(loader, lambda: iter(list(loader())[:1]),
+                    max_epochs=1, steps_per_epoch=1)
+    assert "val/STOI" in h and np.isfinite(h["val/STOI"]), h.keys()
