@@ -21,6 +21,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from nbss_tpu.eval.metrics import cal_metrics
@@ -89,7 +90,29 @@ def run_test(trainer, module, test_loader, log_dir: str,
             merged = {**im, **imp, **m}
             r.update({k: v for k, v in merged.items() if v is not None})
 
+    # multi-host: each process writes its shard; rank 0 merges after a
+    # barrier (the all_gather_object analogue, general_steps.py:75-91, over
+    # a shared filesystem)
     ts = time.strftime("%Y%m%d_%H%M%S")
+    if jax.process_count() > 1:
+        shard_path = os.path.join(log_dir, f"results_rank{jax.process_index()}.json")
+        with open(shard_path, "w") as f:
+            json.dump(results, f, indent=1, default=str)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("nbss_tpu_test_results")
+        if jax.process_index() != 0:
+            return {"num_items": len(results)}
+        merged, seen_names = [], set()
+        for r in range(jax.process_count()):
+            p = os.path.join(log_dir, f"results_rank{r}.json")
+            if os.path.exists(p):
+                for item in json.load(open(p)):
+                    if item["wavname"] not in seen_names:
+                        seen_names.add(item["wavname"])
+                        merged.append(item)
+        results = merged
+
     with open(os.path.join(log_dir, f"results_{ts}.json"), "w") as f:
         json.dump(results, f, indent=1, default=str)
     mean = _mean_of(results)
