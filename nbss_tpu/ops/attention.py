@@ -118,23 +118,27 @@ def _fused_forward(q, k, v, mask, nh, block_m):
     return out[:M, :T]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def narrowband_attention(q, k, v, mask=None, nh: int = 1, block_m: int = 8):
     """Fused multi-head attention over [M, T, nh*dh] narrow-band sequences.
 
     mask: optional additive mask, [T, T] (shared) or [nh, T, T] (per head).
+    The mask is a (zero-cotangent) differentiable argument so traced mask
+    constants (e.g. the online model's causal masks under jit) are allowed.
     """
     return _fused_forward(q, k, v, mask, nh, block_m)
 
 
 def _fwd(q, k, v, mask, nh, block_m):
-    return _fused_forward(q, k, v, mask, nh, block_m), (q, k, v)
+    return _fused_forward(q, k, v, mask, nh, block_m), (q, k, v, mask)
 
 
-def _bwd(mask, nh, block_m, res, g):
-    q, k, v = res
+def _bwd(nh, block_m, res, g):
+    q, k, v, mask = res
     _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v, mask, nh), q, k, v)
-    return vjp(g)
+    dq, dk, dv = vjp(g)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dq, dk, dv, dmask
 
 
 narrowband_attention.defvjp(_fwd, _bwd)
