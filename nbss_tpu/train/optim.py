@@ -51,9 +51,6 @@ def build_optimizer(
         raise KeyError(f"unknown optimizer {name!r}; known: {sorted(_OPTIMIZERS)}")
     if key == "adamw" and wd is not None:
         opt_kwargs["weight_decay"] = wd
-    elif key in ("sgd", "rmsprop") and wd is not None:
-        opt_kwargs["weight_decay"] = wd  # optax sgd lacks wd; emulate below
-        opt_kwargs.pop("weight_decay")
     opt_kwargs.update(kwargs)
 
     base = optax.inject_hyperparams(_OPTIMIZERS[key])(learning_rate=lr, **opt_kwargs)
