@@ -11,8 +11,8 @@ meaning "fresh randomness per run") are the defaults here too.
 from __future__ import annotations
 
 import secrets
-from dataclasses import dataclass, field
-from typing import Iterator, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax
 

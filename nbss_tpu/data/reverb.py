@@ -23,7 +23,6 @@ import numpy as np
 from scipy.signal import fftconvolve
 
 from nbss_tpu.data.loader import DataModule
-from nbss_tpu.data.windows import rectangular_window
 from nbss_tpu.utils.audio_io import read_audio
 
 

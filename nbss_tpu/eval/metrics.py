@@ -17,7 +17,7 @@ optional onnxruntime bridge). Per-metric failures degrade to None
 from __future__ import annotations
 
 import warnings
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ import json
 import os
 import time
 from multiprocessing import get_context
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -16,11 +16,10 @@ with a conv ring buffer (the role InferenceParams plays in mamba-ssm).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from nbss_tpu.ops.ssm import selective_scan, selective_scan_step

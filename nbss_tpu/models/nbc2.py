@@ -15,7 +15,7 @@ train and eval modes (NBC2.py:57-62).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ Backward = custom_vjp recomputing with the XLA reference implementation
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ here. Always returns float32 in [-1, 1] and shape [T] or [T, C].
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
