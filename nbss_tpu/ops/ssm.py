@@ -20,10 +20,12 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 @functools.partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
-def selective_scan(
+def _selective_scan_xla(
     x: jnp.ndarray,      # [B, T, D]   (post-conv, post-activation)
     dt: jnp.ndarray,     # [B, T, D]   (post-softplus)
     A: jnp.ndarray,      # [D, N]      (negative)
@@ -57,6 +59,89 @@ def selective_scan(
     return (y + x32 * D.astype(jnp.float32)).astype(dtype)
 
 
+def _pallas_scan_kernel(x_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, h_ref,
+                        *, tc):
+    """One T-chunk: x/dt [Tc, B, D]; a [N, D]; b/c [Tc, B, N]; the time index
+    is the leading (untiled) dim so dynamic indexing is legal in Mosaic.
+    h scratch [B, N, D] fp32 persists across the (sequential) T grid."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    a = a_ref[...]  # [N, D] fp32 (negative)
+
+    def body(t, _):
+        dt_t = dt_ref[t].astype(jnp.float32)  # [B, D]
+        x_t = x_ref[t].astype(jnp.float32)
+        b_t = b_ref[t].astype(jnp.float32)  # [B, N]
+        c_t = c_ref[t].astype(jnp.float32)
+        dA = jnp.exp(dt_t[:, None, :] * a[None])  # [B, N, D]
+        dBx = (dt_t * x_t)[:, None, :] * b_t[:, :, None]
+        h = dA * h_ref[...] + dBx
+        h_ref[...] = h
+        y_ref[t] = jnp.sum(h * c_t[:, :, None], axis=1).astype(y_ref.dtype)
+        return 0
+
+    # fori_loop so the per-step [B, N, D] temporaries are reused, not all
+    # live at once (unrolling OOMs VMEM)
+    jax.lax.fori_loop(0, tc, body, 0)
+
+
+def selective_scan_pallas(
+    x: jnp.ndarray,      # [B, T, D]
+    dt: jnp.ndarray,     # [B, T, D] (post-softplus)
+    A: jnp.ndarray,      # [D, N] (negative)
+    Bm: jnp.ndarray,     # [B, T, N]
+    Cm: jnp.ndarray,     # [B, T, N]
+    D: jnp.ndarray,      # [D]
+    t_chunk: int = 8,
+) -> jnp.ndarray:
+    """Pallas selective scan: serial only over T, the whole batch advances
+    one frame per step with the state resident in VMEM. Avoids the XLA
+    path's [B, T, D, N] dA/dBx materialization entirely. Forward only —
+    ``selective_scan`` routes backward through the lax.scan reference."""
+    B_, T_, D_ = x.shape
+    N_ = A.shape[-1]
+    Bp = -(-B_ // 8) * 8
+    Tp = -(-T_ // t_chunk) * t_chunk
+
+    def padx(v, dims):
+        pads = [(0, p) for p in dims]
+        return jnp.pad(v, pads)
+
+    def tmajor(v, pad_feat=0):
+        v = jnp.moveaxis(v, 1, 0)  # [T, B, F]
+        return jnp.pad(v, ((0, Tp - T_), (0, Bp - B_), (0, 0)))
+
+    xp = tmajor(x)
+    dtp = tmajor(dt)
+    bp = tmajor(Bm)
+    cp = tmajor(Cm)
+    a_t = jnp.transpose(A, (1, 0)).astype(jnp.float32)  # [N, D]
+
+    seq_spec = lambda feat: pl.BlockSpec((t_chunk, Bp, feat), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_pallas_scan_kernel, tc=t_chunk),
+        grid=(Tp // t_chunk,),
+        in_specs=[
+            seq_spec(D_), seq_spec(D_),
+            pl.BlockSpec((N_, D_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            seq_spec(N_), seq_spec(N_),
+        ],
+        out_specs=seq_spec(D_),
+        out_shape=jax.ShapeDtypeStruct((Tp, Bp, D_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Bp, N_, D_), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, dtp, a_t, bp, cp)
+    y = jnp.moveaxis(out[:T_, :B_], 0, 1)  # [B, T, D]
+    return (y.astype(jnp.float32) + x.astype(jnp.float32) * D.astype(jnp.float32)
+            ).astype(x.dtype)
+
+
 def selective_scan_step(
     h: jnp.ndarray,      # [B, D, N] fp32 carry
     x_t: jnp.ndarray,    # [B, D]
@@ -75,3 +160,25 @@ def selective_scan_step(
     y = jnp.einsum("bdn,bn->bd", h, C_t.astype(jnp.float32))
     y = y + x32 * D.astype(jnp.float32)
     return h, y.astype(x_t.dtype)
+
+
+@jax.custom_vjp
+def selective_scan(x, dt, A, Bm, Cm, D):
+    """Public selective scan: Pallas forward on TPU (state in VMEM, no
+    [B,T,D,N] materialization), lax.scan elsewhere; backward recomputes
+    through the checkpointed lax.scan reference on every backend."""
+    if jax.default_backend() == "tpu":
+        return selective_scan_pallas(x, dt, A, Bm, Cm, D)
+    return _selective_scan_xla(x, dt, A, Bm, Cm, D)
+
+
+def _ss_fwd(x, dt, A, Bm, Cm, D):
+    return selective_scan(x, dt, A, Bm, Cm, D), (x, dt, A, Bm, Cm, D)
+
+
+def _ss_bwd(res, g):
+    _, vjp = jax.vjp(_selective_scan_xla, *res)
+    return vjp(g)
+
+
+selective_scan.defvjp(_ss_fwd, _ss_bwd)

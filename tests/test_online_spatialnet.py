@@ -97,3 +97,19 @@ def test_online_spatialnet_jit_and_grad(rng):
     assert np.isfinite(float(loss(params, x)))
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_selective_scan_pallas_matches_xla(rng):
+    import jax.numpy as jnp
+    from nbss_tpu.ops.ssm import _selective_scan_xla, selective_scan_pallas
+
+    B, T, D, N = 5, 21, 32, 8
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    ref = _selective_scan_xla(x, dt, A, Bm, Cm, Dp)
+    out = selective_scan_pallas(x, dt, A, Bm, Cm, Dp, t_chunk=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
