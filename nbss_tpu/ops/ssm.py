@@ -176,9 +176,68 @@ def _ss_fwd(x, dt, A, Bm, Cm, D):
     return selective_scan(x, dt, A, Bm, Cm, D), (x, dt, A, Bm, Cm, D)
 
 
-def _ss_bwd(res, g):
-    _, vjp = jax.vjp(_selective_scan_xla, *res)
-    return vjp(g)
+def _ss_bwd(res, gy):
+    """Reverse-time adjoint scan with an O(B*D*N) carry.
+
+    A naive vjp of the lax.scan reference materializes the [B, T, D, N]
+    dA/dBx tensors (HBM OOM for 8 layers x 2 mambas at bench sizes); here
+    only the forward states h_t are stored ([T, B, D, N], one tensor) and
+    every per-step quantity is recomputed inside the reverse scan.
+    """
+    x, dt, A, Bm, Cm, D = res
+    dtype_in = [v.dtype for v in res]
+    x32 = x.astype(jnp.float32)
+    dt32 = dt.astype(jnp.float32)
+    A32 = A.astype(jnp.float32)
+    B32 = Bm.astype(jnp.float32)
+    C32 = Cm.astype(jnp.float32)
+    gy32 = gy.astype(jnp.float32)
+    B_, T_, D_ = x.shape
+    N_ = A.shape[-1]
+
+    xT = jnp.moveaxis(x32, 1, 0)
+    dtT = jnp.moveaxis(dt32, 1, 0)
+    bT = jnp.moveaxis(B32, 1, 0)
+    cT = jnp.moveaxis(C32, 1, 0)
+    gyT = jnp.moveaxis(gy32, 1, 0)
+
+    h0 = jnp.zeros((B_, D_, N_), jnp.float32)
+
+    def fstep(h, inp):
+        dt_t, x_t, b_t = inp
+        dA = jnp.exp(dt_t[..., None] * A32)
+        h = dA * h + (dt_t * x_t)[..., None] * b_t[:, None, :]
+        return h, h
+
+    _, hs = jax.lax.scan(fstep, h0, (dtT, xT, bT))  # [T, B, D, N]
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+
+    def bstep(carry, inp):
+        lam_in, gA = carry  # lam_in = dA_{t+1}^T lam_{t+1}
+        h_tm1, h_t, dt_t, x_t, b_t, c_t, gy_t = inp
+        lam = lam_in + gy_t[..., None] * c_t[:, None, :]  # [B, D, N]
+        dA = jnp.exp(dt_t[..., None] * A32)
+        gdA = lam * h_tm1
+        lamB = jnp.einsum("bdn,bn->bd", lam, b_t)
+        gdt = jnp.einsum("bdn,dn->bd", gdA * dA, A32) + lamB * x_t
+        gx = lamB * dt_t + gy_t * D.astype(jnp.float32)
+        gB = jnp.einsum("bdn,bd->bn", lam, dt_t * x_t)
+        gC = jnp.einsum("bd,bdn->bn", gy_t, h_t)
+        gA = gA + jnp.einsum("bdn,bd->dn", gdA * dA, dt_t)
+        return (dA * lam, gA), (gdt, gx, gB, gC)
+
+    (_, gA), (gdtT, gxT, gBT, gCT) = jax.lax.scan(
+        bstep,
+        (jnp.zeros_like(h0), jnp.zeros((D_, N_), jnp.float32)),
+        (h_prev, hs, dtT, xT, bT, cT, gyT),
+        reverse=True,
+    )
+    gD = jnp.einsum("btd,btd->d", gy32, x32)
+    outs = (
+        jnp.moveaxis(gxT, 0, 1), jnp.moveaxis(gdtT, 0, 1), gA,
+        jnp.moveaxis(gBT, 0, 1), jnp.moveaxis(gCT, 0, 1), gD,
+    )
+    return tuple(o.astype(dt_) for o, dt_ in zip(outs, dtype_in))
 
 
 selective_scan.defvjp(_ss_fwd, _ss_bwd)

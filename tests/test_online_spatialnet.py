@@ -113,3 +113,29 @@ def test_selective_scan_pallas_matches_xla(rng):
     ref = _selective_scan_xla(x, dt, A, Bm, Cm, Dp)
     out = selective_scan_pallas(x, dt, A, Bm, Cm, Dp, t_chunk=4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_selective_scan_custom_bwd_matches_autodiff(rng):
+    import jax
+    import jax.numpy as jnp
+    from nbss_tpu.ops.ssm import _selective_scan_xla, selective_scan
+
+    B, T, D, N = 3, 13, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
+
+    def loss_custom(*args):
+        return jnp.sum(selective_scan(*args) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(_selective_scan_xla(*args) ** 2)
+
+    g_c = jax.grad(loss_custom, argnums=(0, 1, 2, 3, 4, 5))(x, dt, A, Bm, Cm, Dp)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(x, dt, A, Bm, Cm, Dp)
+    for name, a, b in zip("x dt A B C D".split(), g_c, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3, err_msg=name)
