@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -212,6 +213,84 @@ class OnlineSpatialNetLayer(nn.Module):
         y = nn.silu(self.tconvffn_conv3(y))
         return self.tconvffn_down(y)
 
+    # ------------------------------------------------------------ streaming
+    def init_streaming_state(self, B: int, F: int, dtype=jnp.float32):
+        """Per-layer streaming state: time-module recurrence + T-ConvFFN
+        causal-conv ring buffers (the reference's id(self)-keyed conv state,
+        OnlineSpatialNet.py:43-54, made explicit and jit-friendly)."""
+        kind, cfg = parse_attention(self.attention)
+        H, FF = self.dim_hidden, self.dim_ffn
+        t_k = self.kernel_size[1]
+        st = {}
+        if kind == "ret":
+            nh = self.num_heads
+            st["time"] = MultiScaleRetention.init_state(
+                B * F, nh, H // nh, H * cfg["value_factor"] // nh, dtype)
+        elif kind == "mamba":
+            d_inner = 2 * H
+            st["time"] = {
+                "conv": jnp.zeros((B * F, cfg["d_conv"] - 1, d_inner), dtype),
+                "ssm": jnp.zeros((B * F, d_inner, cfg["d_state"]), jnp.float32),
+            }
+        else:
+            raise NotImplementedError(
+                "streaming_step supports ret(...)/mamba(...) time modules")
+        if kind == "mamba" and cfg["replace_ffn"]:
+            d_inner = 2 * H
+            st["ffn"] = {
+                "conv": jnp.zeros((B * F, cfg["d_conv"] - 1, d_inner), dtype),
+                "ssm": jnp.zeros((B * F, d_inner, cfg["d_state"]), jnp.float32),
+            }
+        else:
+            for name in ("ffn_conv1", "ffn_conv2", "ffn_conv3"):
+                st[name] = jnp.zeros((B, F, t_k - 1, FF), dtype)
+        return st
+
+    def streaming_step(self, x_t, full: nn.Module, state, rel_pos_t,
+                       rope: Union[bool, str] = False):
+        """One frame: x_t [B, F, H] -> (y_t [B, F, H], state')."""
+        B, F, H = x_t.shape
+        xt = x_t[:, None]  # [B, 1, F, H]; cross-band ops are frame-local
+        xt = xt + self._fconv(self.fconv1_norm, self.fconv1_conv, self.fconv1_act, xt)
+        xt = xt + self._full(xt, full, True)
+        xt = xt + self._fconv(self.fconv2_norm, self.fconv2_conv, self.fconv2_act, xt)
+        x = xt[:, 0]  # [B, F, H]
+
+        y = self.norm_mhsa(x).reshape(B * F, 1, H)
+        if self._kind == "ret":
+            y, state["time"] = self.mhsa.streaming_step(
+                y, rel_pos_t, state["time"], rope=bool(rope) and rope != "ALiBi")
+        else:  # mamba
+            y, state["time"] = self.mhsa.streaming_step(y, state["time"])
+        x = x + y.reshape(B, F, H)
+
+        if self._kind == "mamba" and self._cfg["replace_ffn"]:
+            y = self.norm_tconvffn(x).reshape(B * F, 1, H)
+            y, state["ffn"] = self.tconvffn_mamba.streaming_step(y, state["ffn"])
+            x = x + y.reshape(B, F, H)
+        else:
+            y = self.tconvffn_norm(x)
+            y = nn.silu(self.tconvffn_up(y))  # [B, F, FF]
+            FF = y.shape[-1]
+            groups = self.conv_groups[1]
+            for conv, key in ((self.tconvffn_conv1, "ffn_conv1"),
+                              (self.tconvffn_conv2, "ffn_conv2")):
+                win = jnp.concatenate([state[key], y[..., None, :]], axis=-2)
+                state[key] = win[..., 1:, :]
+                w, b = _conv_params(conv)
+                y = _streaming_conv(win.reshape(B * F, -1, FF), w, b, groups,
+                                    y.dtype).reshape(B, F, FF)
+                if key == "ffn_conv1":
+                    y = nn.silu(y)
+            y = nn.silu(self.tconvffn_midnorm(y[:, :, None, :])[:, :, 0, :])
+            win = jnp.concatenate([state["ffn_conv3"], y[..., None, :]], axis=-2)
+            state["ffn_conv3"] = win[..., 1:, :]
+            w, b = _conv_params(self.tconvffn_conv3)
+            y = nn.silu(_streaming_conv(win.reshape(B * F, -1, FF), w, b, groups,
+                                        y.dtype).reshape(B, F, FF))
+            x = x + self.tconvffn_down(y)
+        return x, state
+
     def _fconv(self, norm, conv, act, xt):
         return act(conv(norm(xt)))  # xt: [B, T, F, H]
 
@@ -299,6 +378,41 @@ class OnlineSpatialNet(nn.Module):
             return jnp.asarray(alibi_mask(slen, cfg["scope"], self.num_heads))
         return jnp.asarray(local_causal_mask(slen, cfg["scope"]))
 
+    # ------------------------------------------------------------ streaming
+    def init_streaming_state(self, B: int, dtype=jnp.float32):
+        """Explicit state pytree for frame-by-frame inference."""
+        F = self.num_freqs
+        return {
+            "t": jnp.zeros((), jnp.int32),
+            "enc": jnp.zeros((B, F, self.encoder_kernel_size - 1, self.dim_input),
+                             dtype),
+            "layers": [layer.init_streaming_state(B, F, dtype)
+                       for layer in self.layers],
+        }
+
+    def streaming_step(self, x_t, state):
+        """One frame x_t [B, F, dim_input] -> (y_t [B, F, dim_output], state').
+
+        Jittable (the frame counter is traced); equals the offline causal
+        forward frame-for-frame for ret/mamba time modules.
+        """
+        B, F, _ = x_t.shape
+        dt = self.dtype or x_t.dtype
+        x_t = x_t.astype(dt)
+        win = jnp.concatenate([state["enc"], x_t[..., None, :]], axis=-2)
+        state["enc"] = win[..., 1:, :]
+        w, b = _conv_params(self.encoder)
+        h = _streaming_conv(win.reshape(B * F, -1, self.dim_input), w, b, 1,
+                            dt).reshape(B, F, self.dim_hidden)
+        rel_pos_t = (self.pos.recurrent_dynamic(state["t"])
+                     if self._kind == "ret" else None)
+        for l, layer in enumerate(self.layers):
+            full = self.fulls[min(l, len(self.fulls) - 1)]
+            h, state["layers"][l] = layer.streaming_step(
+                h, full, state["layers"][l], rel_pos_t, self.rope)
+        state["t"] = state["t"] + 1
+        return self.decoder(h).astype(jnp.float32), state
+
     def __call__(self, x, deterministic: bool = True, inference: bool = False):
         """inference=True routes retention through its O(1)-state scan
         recurrence (chunkwise_recurrent setting otherwise, as in training)."""
@@ -317,3 +431,25 @@ class OnlineSpatialNet(nn.Module):
             full = self.fulls[min(l, len(self.fulls) - 1)]
             x = layer(x, full, rel_pos, deterministic, chunkwise, self.rope, recurrent)
         return self.decoder(x).astype(jnp.float32)
+
+
+def _conv_params(conv_module):
+    v = conv_module.variables["params"]["Conv_0"]
+    return v["kernel"], v.get("bias")
+
+
+def _streaming_conv(window, kernel, bias, groups, dtype):
+    """VALID conv over a [B*, k, C] window -> [B*, C] (one causal frame)."""
+    y = jax.lax.conv_general_dilated(
+        window.astype(dtype), kernel.astype(dtype), window_strides=(1,),
+        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups)
+    y = y[:, 0]
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def _push(window, x_t):
+    """Ring-buffer push: window [..., k-1, C], x_t [..., C]."""
+    return jnp.concatenate([window[..., 1:, :], x_t[..., None, :]], axis=-2)

@@ -124,6 +124,14 @@ class RetNetRelPos:
         sin, cos = self._sincos(t + 1)
         return (jnp.asarray(sin[-1]), jnp.asarray(cos[-1])), jnp.asarray(self.decays, jnp.float32)
 
+    def recurrent_dynamic(self, t):
+        """((sin_t, cos_t), decays) for a TRACED frame index t (jit-friendly
+        streaming; `recurrent` needs a static t)."""
+        angle = jnp.asarray(self.angle, jnp.float32)
+        t = jnp.asarray(t, jnp.float32)
+        return ((jnp.sin(angle * t), jnp.cos(angle * t)),
+                jnp.asarray(self.decays, jnp.float32))
+
     def recurrent_seq(self, slen: int):
         """((sin, cos) full tables, decays [nh]) for the scan-based
         full-sequence recurrent path."""

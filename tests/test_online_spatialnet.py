@@ -139,3 +139,28 @@ def test_selective_scan_custom_bwd_matches_autodiff(rng):
     for name, a, b in zip("x dt A B C D".split(), g_c, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("attention,rope", [
+    ("mamba(8,4)", False),
+    ("ret(2,share_qk)", False),
+    ("ret(2,not_share_qk)", True),
+])
+def test_streaming_step_matches_offline(rng, attention, rope):
+    """Frame-by-frame streaming_step == offline causal forward."""
+    model = OnlineSpatialNet(attention=attention, decay=(4, 5, 9, 10),
+                             chunkwise_recurrent=False, rope=rope, **CFG)
+    T = 14
+    x = rng.standard_normal((2, CFG["num_freqs"], T, 4)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y_off = np.asarray(model.apply(params, jnp.asarray(x)))
+
+    state = model.apply(params, 2, method=model.init_streaming_state)
+    step = jax.jit(lambda p, x_t, st: model.apply(p, x_t, st,
+                                                  method=model.streaming_step))
+    outs = []
+    for t in range(T):
+        y_t, state = step(params, jnp.asarray(x[:, :, t]), state)
+        outs.append(np.asarray(y_t))
+    y_str = np.stack(outs, axis=2)
+    np.testing.assert_allclose(y_str, y_off, atol=2e-3, rtol=2e-2)
