@@ -210,3 +210,28 @@ def test_val_host_metrics(ds, cpu_devices):
     h = trainer.fit(loader, lambda: iter(list(loader())[:1]),
                     max_epochs=1, steps_per_epoch=1)
     assert "val/STOI" in h and np.isfinite(h["val/STOI"]), h.keys()
+
+
+@pytest.mark.parametrize("loss_name", ["cirm_mse", "cc_mse", "neg_sa_sdr", "neg_snr"])
+def test_training_step_all_losses(ds, cpu_devices, loss_name):
+    """TrainModule end-to-end with every loss family, incl. the cIRM mask
+    path (whose predictions ride the UNNORMALIZED reference channel --
+    SURVEY.md 'in-place quirks')."""
+    import dataclasses
+
+    module = tiny_module()
+    module = dataclasses.replace(module, loss=Loss(name=loss_name, pit=True))
+    x, ys, _ = next(iter(BatchLoader(
+        ds, 4, DistributedSampler(len(ds), seed=3, shuffle=False))))
+    params = module.arch.init(jax.random.PRNGKey(0), jnp.zeros((1, 65, 10, 4)))
+
+    loss_val, grads = jax.value_and_grad(
+        lambda p: module.training_step(p, (jnp.asarray(x), jnp.asarray(ys))))(params)
+    assert np.isfinite(float(loss_val)), loss_name
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all(), loss_name
+
+    # forward returns time-domain predictions of the mixture scale
+    yhat, _ = module.forward(params, jnp.asarray(x))
+    assert yhat.shape == (4, 2, x.shape[-1])
+    assert np.isfinite(np.asarray(yhat)).all()
