@@ -92,13 +92,12 @@ class RelPosMultiHeadAttention(nn.Module):
         # [.., h, T, 2T-1]; column r holds relative position r-(T-1)
         pos_full = jnp.einsum("...qhd,rhd->...hqr", q + v_bias, pos,
                               preferred_element_type=jnp.float32)
-        # pos_score[i, j] = pos_full[i, (i - j) + T - 1]
-        i = jnp.arange(T)[:, None]
-        j = jnp.arange(T)[None, :]
-        idx = (i - j) + T - 1  # [T, T]
-        idx = idx.reshape((1,) * (len(lead) + 1) + (T, T))
-        pos_score = jnp.take_along_axis(pos_full, jnp.broadcast_to(idx, content.shape), axis=-1)
+        # pos_score[i, j] = pos_full[i, (i - j) + T - 1], realized as the
+        # Transformer-XL relative-shift (pad + reshape on the reversed last
+        # axis) — a [.., T, T] gather is catastrophically slow on TPU
+        pos_score = self._rel_shift(pos_full[..., ::-1], T)
 
+        pos_score = pos_score.astype(content.dtype)
         score = (content + pos_score) / math.sqrt(self.d_model)
         if att_mask is not None:
             score = score + att_mask.astype(score.dtype)
@@ -108,6 +107,20 @@ class RelPosMultiHeadAttention(nn.Module):
                          preferred_element_type=jnp.float32).astype(dt)
         out = out.reshape(*lead, T, H)
         return _XavierDense(H, dtype=dt, param_dtype=self.param_dtype, name="out_proj")(out)
+
+    @staticmethod
+    def _rel_shift(x, T):
+        return _nbc_rel_shift(x, T)
+
+
+def _nbc_rel_shift(x, T):
+    """x [..., T, 2T-1] with x[.., i, r] = f(i, rel = T-1-r)
+    -> out[.., i, j] = f(i, i - j): pad one column left, fold, slice."""
+    *lead, Tq, R = x.shape
+    x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (1, 0)])  # [.., T, 2T]
+    x = x.reshape(*lead, 2 * T, Tq)
+    x = x[..., 1:, :].reshape(*lead, Tq, R)
+    return x[..., :T]
 
 
 class NBCBlock(nn.Module):
