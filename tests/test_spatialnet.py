@@ -83,3 +83,17 @@ def test_parity_with_torch_reference(rng):
 
     assert y_j.shape == y_t.shape
     np.testing.assert_allclose(y_j, y_t, atol=2e-4, rtol=2e-3)
+
+
+def test_remat_matches_and_grads(rng):
+    kw = dict(SMALL, num_layers=2)
+    m_r = SpatialNet(**kw, remat=True)
+    m_n = SpatialNet(**kw, remat=False)
+    x = jnp.asarray(rng.standard_normal((1, 33, 12, 12)), jnp.float32)
+    params = m_n.init(jax.random.PRNGKey(0), x)
+    y_r = m_r.apply(params, x)
+    y_n = m_n.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_n), atol=1e-5)
+    g = jax.grad(lambda p: float(0) + jnp.mean(m_r.apply(p, x) ** 2))(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
