@@ -44,7 +44,9 @@ def build_module(cfg: Dict) -> TrainModule:
     # precision policy: bf16-mixed puts the network in bf16 (fp32 islands stay)
     precision = str(cfg.get("trainer", {}).get("precision", "32"))
     if "bf16" in precision and getattr(arch, "dtype", None) is None:
-        arch = arch.replace(dtype=jnp.bfloat16)
+        import dataclasses
+
+        arch = dataclasses.replace(arch, dtype=jnp.bfloat16)
     stft = instantiate(m.get("stft", {"class_path": "nbss_tpu.io.STFT"}))
     norm = instantiate(m.get("norm", {"class_path": "nbss_tpu.io.Norm"}))
     loss = instantiate(m.get("loss", {"class_path": "nbss_tpu.io.Loss"}))

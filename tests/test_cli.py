@@ -100,3 +100,10 @@ def test_fit_and_test_and_predict(tmp_path):
     pres = run(["predict", *_base_args(tmp_path, ("--ckpt_path", ckpt))])
     wavs = glob.glob(os.path.join(pres["log_dir"], "examples", "*.wav"))
     assert wavs
+
+
+def test_bf16_precision_fit(tmp_path):
+    args = ["fit", *_base_args(tmp_path)]
+    args[args.index("32")] = "bf16-mixed"  # trainer.precision
+    out = run(args)
+    assert np.isfinite(out["train_loss"])
