@@ -14,9 +14,10 @@ around the call.
 
 Supports an optional additive mask, shared [T, T] or per-head [nh, T, T]
 (causal-local / ALiBi masks of the online model). Backward is a
-jax.custom_vjp that recomputes attention with the reference einsum
-implementation (numerically identical math), so training gradients need no
-hand-written kernel while the forward half takes the fast path.
+hand-written Pallas kernel with the same block structure as the forward:
+it recomputes the softmax probabilities in VMEM per (M-tile, head) and
+forms dQ/dK/dV with five batched MXU contractions, so the [M, nh, T, T]
+score tensors never touch HBM in either direction.
 """
 
 from __future__ import annotations
@@ -128,14 +129,99 @@ def narrowband_attention(q, k, v, mask=None, nh: int = 1, block_m: int = 8):
     return _fused_forward(q, k, v, mask, nh, block_m)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                *, nh, dh, scale, t_valid):
+    """Adjoint of softmax attention, one (M-tile, head) at a time in VMEM.
+
+    With P = softmax(QK^T*scale + mask):
+        dV = P^T dO
+        dP = dO V^T
+        dS = P o (dP - rowsum(dP o P))
+        dQ = dS K * scale ;  dK = dS^T Q * scale
+    """
+    Tp = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    pad_mask = jnp.where(col < t_valid, 0.0, NEG_INF).astype(jnp.float32)
+    for h in range(nh):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        g = g_ref[:, :, sl]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [mb, Tq, Tk]
+        s = s + pad_mask
+        if mask_ref is not None:
+            s = s + mask_ref[h if mask_ref.shape[0] > 1 else 0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [mb, Tq, Tk]
+        dv_ref[:, :, sl] = jax.lax.dot_general(
+            p.astype(g.dtype), g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [mb, Tq, Tk]
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq_ref[:, :, sl] = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _bwd_kernel_nomask(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, **kw):
+    _bwd_kernel(q_ref, k_ref, v_ref, None, g_ref, dq_ref, dk_ref, dv_ref, **kw)
+
+
+def _fused_backward(q, k, v, mask, g, nh, block_m):
+    M, T, H = q.shape
+    dh = H // nh
+    Tp = -(-T // 128) * 128
+    mb = block_m
+    Mp = -(-M // mb) * mb
+
+    def pad(x):
+        return jnp.pad(x, ((0, Mp - M), (0, Tp - T), (0, 0)))
+
+    qp, kp, vp, gp = pad(q), pad(k), pad(v), pad(g)
+    kw = dict(nh=nh, dh=dh, scale=1.0 / math.sqrt(dh), t_valid=T)
+    if mask is not None:
+        mask3 = mask if mask.ndim == 3 else mask[None]
+        mh = mask3.shape[0]
+        maskp = jnp.pad(mask3.astype(jnp.float32), ((0, 0), (0, Tp - T), (0, Tp - T)))
+        in_specs_mask = [pl.BlockSpec((mh, Tp, Tp), lambda i: (0, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+        operands = (qp, kp, vp, maskp, gp)
+        kernel = functools.partial(_bwd_kernel, **kw)
+    else:
+        in_specs_mask = []
+        operands = (qp, kp, vp, gp)
+        kernel = functools.partial(_bwd_kernel_nomask, **kw)
+
+    spec = pl.BlockSpec((mb, Tp, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((Mp, Tp, H), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(Mp // mb,),
+        in_specs=[spec, spec, spec] + in_specs_mask + [spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=jax.default_backend() == "cpu",
+    )(*operands)
+    return dq[:M, :T], dk[:M, :T], dv[:M, :T]
+
+
 def _fwd(q, k, v, mask, nh, block_m):
     return _fused_forward(q, k, v, mask, nh, block_m), (q, k, v, mask)
 
 
 def _bwd(nh, block_m, res, g):
     q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q, k, v: _attention_reference(q, k, v, mask, nh), q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _fused_backward(q, k, v, mask, g, nh, block_m)
     dmask = None if mask is None else jnp.zeros_like(mask)
     return dq, dk, dv, dmask
 
