@@ -6,10 +6,18 @@ relative-positional MHSA (with u/v content/position biases) + a conv
 feed-forward stack. Encoder is a VALID k=4 temporal conv (shrinks T by k-1);
 the ConvTranspose decoder restores the original length.
 
-The relative-position score is computed MXU-style: one [T, 2T-1] matmul of
-(q + v_bias) against the projected sinusoidal table, then a gather down to
-[T, T] — no [T, T, H] materialization (reference gathers the embedding table
-into a [1,T,T,nh,dh] tensor, NBC.py:123-130).
+The relative-position score never materializes a [T, 2T-1] (or [T, T, H])
+tensor (reference gathers the embedding table into a [1,T,T,nh,dh] tensor,
+NBC.py:123-130). Because the position table is sinusoidal, the angle-sum
+identity factorizes it exactly:
+
+    pos_score[i, j] = g_i . PE(i - j) = A_i . cos_j + B_i . sin_j
+
+with g = (q + v_bias) W_pos^T, A = gs*sin_i + gc*cos_i, B = gc*sin_i -
+gs*cos_i — plain rank-d_model matmuls. On TPU the whole attention then runs
+through the fused narrow-band Pallas kernel (ops/attention.py, forward and
+backward) by augmenting each head's features: score = [qu, A, B] .
+[k, cos_j, sin_j]^T, so the [.., T, T] scores live only in VMEM.
 
 Reference NBC.py:133-134 adds ``attn_mask`` to an undefined variable (dead
 code since masks are never used); here the mask is correctly added to the
@@ -43,6 +51,17 @@ def sinusoidal_relpos_table(T: int, d: int) -> np.ndarray:
     return pe.astype(np.float32)
 
 
+def sincos_position_tables(T: int, d: int):
+    """sin/cos of the absolute positions 0..T-1 at the d/2 PE frequencies:
+    [T, d//2] each. PE(i-j)[2m] = sin_i cos_j - cos_i sin_j and
+    PE(i-j)[2m+1] = cos_i cos_j + sin_i sin_j, which turns the relative
+    table lookup into two rank-d/2 matmuls."""
+    positions = np.arange(T, dtype=np.float64)[:, None]
+    denom = np.exp(np.arange(0, d, 2, dtype=np.float64) * -(math.log(10000.0) / d))
+    return (np.sin(positions * denom).astype(np.float32),
+            np.cos(positions * denom).astype(np.float32))
+
+
 class _XavierDense(nn.Module):
     features: int
     use_bias: bool = True
@@ -65,6 +84,7 @@ class RelPosMultiHeadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    force_xla: bool = False  # testing: skip the fused kernel path
 
     @nn.compact
     def __call__(self, x, att_mask=None, deterministic: bool = True):
@@ -82,30 +102,63 @@ class RelPosMultiHeadAttention(nn.Module):
         u_bias = self.param("u_bias", xavier_uniform, (nh, dh), self.param_dtype).astype(dt)
         v_bias = self.param("v_bias", xavier_uniform, (nh, dh), self.param_dtype).astype(dt)
 
-        # projected relative position table [2T-1, nh, dh]
-        pe = jnp.asarray(sinusoidal_relpos_table(T, self.d_model), dt)
-        pos = _XavierDense(H, use_bias=False, dtype=dt, param_dtype=self.param_dtype,
-                           name="pos_proj")(pe).reshape(2 * T - 1, nh, dh)
+        # pos_proj kernel [d_model, H]: applying the Dense to the identity
+        # recovers the kernel while keeping the exact reference param tree
+        # (pos_proj/Dense_0/kernel) for checkpoints and weight transplants
+        Wpos = _XavierDense(H, use_bias=False, dtype=dt, param_dtype=self.param_dtype,
+                            name="pos_proj")(jnp.eye(self.d_model, dtype=dt))
+        Wpos = Wpos.reshape(self.d_model, nh, dh)
+        Wsin, Wcos = Wpos[0::2], Wpos[1::2]  # [d/2, nh, dh] each
+        sin_np, cos_np = sincos_position_tables(T, self.d_model)
+        sin_t = jnp.asarray(sin_np, dt)  # [T, d/2]
+        cos_t = jnp.asarray(cos_np, dt)
 
-        content = jnp.einsum("...qhd,...khd->...hqk", q + u_bias, k,
-                             preferred_element_type=jnp.float32)
-        # [.., h, T, 2T-1]; column r holds relative position r-(T-1)
-        pos_full = jnp.einsum("...qhd,rhd->...hqr", q + v_bias, pos,
-                              preferred_element_type=jnp.float32)
-        # pos_score[i, j] = pos_full[i, (i - j) + T - 1], realized as the
-        # Transformer-XL relative-shift (pad + reshape on the reversed last
-        # axis) — a [.., T, T] gather is catastrophically slow on TPU
-        pos_score = self._rel_shift(pos_full[..., ::-1], T)
+        # trig factorization of the relative-position score (module docstring)
+        qv = q + v_bias
+        gs = jnp.einsum("...qhd,mhd->...qhm", qv, Wsin)  # [.., T, nh, d/2]
+        gc = jnp.einsum("...qhd,mhd->...qhm", qv, Wcos)
+        A = gs * sin_t[:, None, :] + gc * cos_t[:, None, :]
+        Bq = gc * sin_t[:, None, :] - gs * cos_t[:, None, :]
 
-        pos_score = pos_score.astype(content.dtype)
-        score = (content + pos_score) / math.sqrt(self.d_model)
-        if att_mask is not None:
-            score = score + att_mask.astype(score.dtype)
-        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(dt)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("...hqk,...khd->...qhd", attn, v,
-                         preferred_element_type=jnp.float32).astype(dt)
-        out = out.reshape(*lead, T, H)
+        use_fused = (
+            (deterministic or self.dropout == 0.0)
+            and len(lead) >= 1 and T > 1 and not self.force_xla
+        )
+        if use_fused:
+            from nbss_tpu.ops.attention import narrowband_attention
+
+            # augment each head: score = [qu, A, B] . [k, cos_j, sin_j]^T.
+            # The kernel scales by 1/sqrt(dh') — pre-scale q' to recover the
+            # reference's 1/sqrt(d_model) (NBC.py:90,131).
+            dhp = dh + self.d_model
+            M = int(np.prod(lead))
+            fix = math.sqrt(dhp) / math.sqrt(self.d_model)
+            qa = jnp.concatenate([(q + u_bias), A, Bq], axis=-1) * jnp.asarray(fix, dt)
+            cs = jnp.broadcast_to(
+                jnp.concatenate([cos_t, sin_t], axis=-1)[None, :, None, :],
+                (M, T, nh, self.d_model)).astype(dt)
+            ka = jnp.concatenate([k.reshape(M, T, nh, dh), cs], axis=-1)
+            out = narrowband_attention(
+                qa.reshape(M, T, nh * dhp), ka.reshape(M, T, nh * dhp),
+                v.reshape(M, T, H),
+                None if att_mask is None else att_mask, nh, 8)
+            out = out.reshape(*lead, T, H)
+        else:
+            content = jnp.einsum("...qhd,...khd->...hqk", q + u_bias, k,
+                                 preferred_element_type=jnp.float32)
+            pos_score = (
+                jnp.einsum("...qhm,km->...hqk", A, cos_t,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("...qhm,km->...hqk", Bq, sin_t,
+                             preferred_element_type=jnp.float32))
+            score = (content + pos_score) / math.sqrt(self.d_model)
+            if att_mask is not None:
+                score = score + att_mask.astype(score.dtype)
+            attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(dt)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("...hqk,...khd->...qhd", attn, v,
+                             preferred_element_type=jnp.float32).astype(dt)
+            out = out.reshape(*lead, T, H)
         return _XavierDense(H, dtype=dt, param_dtype=self.param_dtype, name="out_proj")(out)
 
     @staticmethod

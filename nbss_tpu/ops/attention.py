@@ -34,12 +34,14 @@ NEG_INF = -1e30
 
 
 def _attention_reference(q, k, v, mask, nh):
-    """[M, T, H] multi-head einsum attention (ground truth / backward)."""
+    """[M, T, H] multi-head einsum attention (ground truth / backward).
+    v may have a different per-head width than q/k (e.g. NBC's augmented
+    positional q/k); the output follows v's width."""
     M, T, H = q.shape
     dh = H // nh
 
     def heads(t):
-        return t.reshape(M, T, nh, dh)
+        return t.reshape(M, T, nh, t.shape[-1] // nh)
 
     qh, kh, vh = heads(q), heads(k), heads(v)
     logits = jnp.einsum("mqhd,mkhd->mhqk", qh, kh,
@@ -50,18 +52,19 @@ def _attention_reference(q, k, v, mask, nh):
     p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("mhqk,mkhd->mqhd", p, vh,
                      preferred_element_type=jnp.float32).astype(q.dtype)
-    return out.reshape(M, T, H)
+    return out.reshape(M, T, v.shape[-1])
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, nh, dh, scale, t_valid):
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, nh, dh, dv, scale, t_valid):
     Tp = q_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     pad_mask = jnp.where(col < t_valid, 0.0, NEG_INF).astype(jnp.float32)
     for h in range(nh):  # static unroll over heads; each head batched over M
         sl = slice(h * dh, (h + 1) * dh)
+        slv = slice(h * dv, (h + 1) * dv)
         q = q_ref[:, :, sl]
         k = k_ref[:, :, sl]
-        v = v_ref[:, :, sl]
+        v = v_ref[:, :, slv]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # [mb, Tp, Tp]
@@ -71,7 +74,7 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, nh, dh, scale, t_valid):
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-        o_ref[:, :, sl] = jax.lax.dot_general(
+        o_ref[:, :, slv] = jax.lax.dot_general(
             p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
@@ -82,7 +85,9 @@ def _kernel_nomask(q_ref, k_ref, v_ref, o_ref, **kw):
 
 def _fused_forward(q, k, v, mask, nh, block_m):
     M, T, H = q.shape
+    Hv = v.shape[2]
     dh = H // nh
+    dv = Hv // nh
     Tp = -(-T // 128) * 128  # pad T to a lane multiple
     mb = block_m
     Mp = -(-M // mb) * mb
@@ -98,21 +103,24 @@ def _fused_forward(q, k, v, mask, nh, block_m):
         in_specs_mask = [pl.BlockSpec((mh, Tp, Tp), lambda i: (0, 0, 0),
                                       memory_space=pltpu.VMEM)]
         operands = (qp, kp, vp, maskp)
-        kernel = functools.partial(_kernel, nh=nh, dh=dh,
+        kernel = functools.partial(_kernel, nh=nh, dh=dh, dv=dv,
                                    scale=1.0 / math.sqrt(dh), t_valid=T)
     else:
         in_specs_mask = []
         operands = (qp, kp, vp)
-        kernel = functools.partial(_kernel_nomask, nh=nh, dh=dh,
+        kernel = functools.partial(_kernel_nomask, nh=nh, dh=dh, dv=dv,
                                    scale=1.0 / math.sqrt(dh), t_valid=T)
 
     spec = pl.BlockSpec((mb, Tp, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((mb, Tp, Hv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(Mp // mb,),
-        in_specs=[spec, spec, spec] + in_specs_mask,
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((Mp, Tp, H), q.dtype),
+        in_specs=[spec, spec, vspec] + in_specs_mask,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((Mp, Tp, Hv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),  # v5e has 128 MB VMEM
         interpret=jax.default_backend() == "cpu",  # CPU tests run interpreted
     )(*operands)
     return out[:M, :T]
@@ -130,7 +138,7 @@ def narrowband_attention(q, k, v, mask=None, nh: int = 1, block_m: int = 8):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                *, nh, dh, scale, t_valid):
+                *, nh, dh, dv, scale, t_valid):
     """Adjoint of softmax attention, one (M-tile, head) at a time in VMEM.
 
     With P = softmax(QK^T*scale + mask):
@@ -144,10 +152,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref,
     pad_mask = jnp.where(col < t_valid, 0.0, NEG_INF).astype(jnp.float32)
     for h in range(nh):
         sl = slice(h * dh, (h + 1) * dh)
+        slv = slice(h * dv, (h + 1) * dv)
         q = q_ref[:, :, sl]
         k = k_ref[:, :, sl]
-        v = v_ref[:, :, sl]
-        g = g_ref[:, :, sl]
+        v = v_ref[:, :, slv]
+        g = g_ref[:, :, slv]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # [mb, Tq, Tk]
@@ -157,7 +166,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref,
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [mb, Tq, Tk]
-        dv_ref[:, :, sl] = jax.lax.dot_general(
+        dv_ref[:, :, slv] = jax.lax.dot_general(
             p.astype(g.dtype), g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
         dp = jax.lax.dot_general(
@@ -179,7 +188,9 @@ def _bwd_kernel_nomask(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, **kw)
 
 def _fused_backward(q, k, v, mask, g, nh, block_m):
     M, T, H = q.shape
+    Hv = v.shape[2]
     dh = H // nh
+    dv = Hv // nh
     Tp = -(-T // 128) * 128
     mb = block_m
     Mp = -(-M // mb) * mb
@@ -188,7 +199,7 @@ def _fused_backward(q, k, v, mask, g, nh, block_m):
         return jnp.pad(x, ((0, Mp - M), (0, Tp - T), (0, 0)))
 
     qp, kp, vp, gp = pad(q), pad(k), pad(v), pad(g)
-    kw = dict(nh=nh, dh=dh, scale=1.0 / math.sqrt(dh), t_valid=T)
+    kw = dict(nh=nh, dh=dh, dv=dv, scale=1.0 / math.sqrt(dh), t_valid=T)
     if mask is not None:
         mask3 = mask if mask.ndim == 3 else mask[None]
         mh = mask3.shape[0]
@@ -203,16 +214,20 @@ def _fused_backward(q, k, v, mask, g, nh, block_m):
         kernel = functools.partial(_bwd_kernel_nomask, **kw)
 
     spec = pl.BlockSpec((mb, Tp, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((mb, Tp, Hv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((Mp, Tp, H), q.dtype)
-    dq, dk, dv = pl.pallas_call(
+    vshape = jax.ShapeDtypeStruct((Mp, Tp, Hv), q.dtype)
+    dq, dk, dvals = pl.pallas_call(
         kernel,
         grid=(Mp // mb,),
-        in_specs=[spec, spec, spec] + in_specs_mask + [spec],
-        out_specs=(spec, spec, spec),
-        out_shape=(shape, shape, shape),
+        in_specs=[spec, spec, vspec] + in_specs_mask + [vspec],
+        out_specs=(spec, spec, vspec),
+        out_shape=(shape, shape, vshape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(*operands)
-    return dq[:M, :T], dk[:M, :T], dv[:M, :T]
+    return dq[:M, :T], dk[:M, :T], dvals[:M, :T]
 
 
 def _fwd(q, k, v, mask, nh, block_m):

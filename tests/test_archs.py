@@ -129,3 +129,50 @@ def test_blstm_parity_with_torch(rng):
     m = BLSTM2_FC1(dim_input=4, dim_output=4, hidden_size=(8, 6))
     y_j = np.asarray(m.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(y_j, y_t, atol=2e-4, rtol=2e-3)
+
+
+def test_nbc_relpos_trig_decomposition(rng):
+    """A.cos_j + B.sin_j factorization == gather/rel-shift construction."""
+    import math
+
+    from nbss_tpu.models.nbc import (_nbc_rel_shift, sincos_position_tables,
+                                     sinusoidal_relpos_table)
+
+    T, d, nh = 19, 16, 2
+    dh = d // nh
+    qv = rng.standard_normal((3, T, nh, dh)).astype(np.float32)
+    W = rng.standard_normal((d, d)).astype(np.float32)  # pos_proj kernel
+
+    pe = sinusoidal_relpos_table(T, d)          # [2T-1, d]
+    pos = (pe @ W).reshape(2 * T - 1, nh, dh)
+    pos_full = np.einsum("bqhd,rhd->bhqr", qv, pos)
+    ref = np.asarray(_nbc_rel_shift(jnp.asarray(pos_full[..., ::-1]), T))
+
+    Wh = W.reshape(d, nh, dh)
+    gs = np.einsum("bqhd,mhd->bqhm", qv, Wh[0::2])
+    gc = np.einsum("bqhd,mhd->bqhm", qv, Wh[1::2])
+    sin_t, cos_t = sincos_position_tables(T, d)
+    A = gs * sin_t[:, None, :] + gc * cos_t[:, None, :]
+    B = gc * sin_t[:, None, :] - gs * cos_t[:, None, :]
+    dec = np.einsum("bqhm,km->bhqk", A, cos_t) + np.einsum("bqhm,km->bhqk", B, sin_t)
+    np.testing.assert_allclose(dec, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_nbc_fused_matches_xla_path_and_grads(rng):
+    """Fused-kernel attention path == XLA softmax path (force_xla), both
+    through the trig-decomposed positional score; grads match too."""
+    from nbss_tpu.models.nbc import RelPosMultiHeadAttention
+
+    x = jnp.asarray(rng.standard_normal((3, 17, 32)), jnp.float32)
+    m_f = RelPosMultiHeadAttention(32, 2, dropout=0.0)
+    m_x = RelPosMultiHeadAttention(32, 2, dropout=0.0, force_xla=True)
+    params = m_f.init(jax.random.PRNGKey(0), x)
+    y_f = m_f.apply(params, x)
+    y_x = m_x.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                               atol=2e-4, rtol=1e-3)
+    g_f = jax.grad(lambda p: jnp.sum(m_f.apply(p, x) ** 2))(params)
+    g_x = jax.grad(lambda p: jnp.sum(m_x.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-2)

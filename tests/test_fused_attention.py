@@ -141,3 +141,22 @@ def test_spatialnet_fused_ffn_matches_unfused(rng):
     y_u = m_u.apply(params, x)
     y_f = m_f.apply(params, x)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u), atol=1e-4, rtol=1e-3)
+
+
+def test_separate_value_width(rng):
+    """q/k augmented wider than v (NBC's positional augmentation)."""
+    M, T, nh, dh, dv = 4, 23, 2, 40, 16
+    q = jnp.asarray(rng.standard_normal((M, T, nh * dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((M, T, nh * dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((M, T, nh * dv)), jnp.float32)
+    out = narrowband_attention(q, k, v, None, nh, 4)
+    ref = _attention_reference(q, k, v, None, nh)
+    assert out.shape == (M, T, nh * dv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    g = jax.grad(lambda q, k, v: jnp.sum(narrowband_attention(q, k, v, None, nh, 4) ** 2),
+                 argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(_attention_reference(q, k, v, None, nh) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
