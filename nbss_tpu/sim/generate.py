@@ -24,7 +24,8 @@ from nbss_tpu.sim.ism import simulate_direct_path, simulate_rir
 
 
 def render_room(par: dict, fs: int, rir_dir: str, setdir: str,
-                split_trajectory: Optional[int] = None) -> str:
+                split_trajectory: Optional[int] = None,
+                length_round: int = 1) -> str:
     index, RT60 = par["index"], par["RT60"]
     room_sz, beta = par["room_sz"], par.get("beta")
     pos_src, pos_rcv, pos_noise = par["pos_src"], par["pos_rcv"], par["pos_noise"]
@@ -33,14 +34,16 @@ def render_room(par: dict, fs: int, rir_dir: str, setdir: str,
     save_to = os.path.join(out_dir, f"{index}.npz")
 
     if isinstance(pos_src, np.ndarray) and pos_src.ndim == 2:  # static sources
-        rir = simulate_rir(room_sz, pos_src, pos_rcv, RT60, fs, beta=beta)
+        rir = simulate_rir(room_sz, pos_src, pos_rcv, RT60, fs, beta=beta,
+                           length_round=length_round)
         rir_dp = simulate_direct_path(room_sz, pos_src, pos_rcv, fs)
     else:  # trajectories: list of [N_i, 3] point sets
         rir, rir_dp = [], []
         for i, traj in enumerate(pos_src):
             chunks = ([traj] if not split_trajectory else
                       np.array_split(traj, max(1, -(-len(traj) // split_trajectory))))
-            r = np.concatenate([simulate_rir(room_sz, c, pos_rcv, RT60, fs, beta=beta)
+            r = np.concatenate([simulate_rir(room_sz, c, pos_rcv, RT60, fs, beta=beta,
+                                             length_round=length_round)
                                 for c in chunks], axis=0)
             rdp = np.concatenate([simulate_direct_path(room_sz, c, pos_rcv, fs)
                                   for c in chunks], axis=0)
@@ -53,8 +56,8 @@ def render_room(par: dict, fs: int, rir_dir: str, setdir: str,
 
     rir_noise = None
     if len(pos_noise):
-        rir_noise = simulate_rir(room_sz, pos_noise, pos_rcv, RT60, fs,
-                                 beta=beta).astype(np.float16)
+        rir_noise = simulate_rir(room_sz, pos_noise, pos_rcv, RT60, fs, beta=beta,
+                                 length_round=length_round).astype(np.float16)
     np.savez(
         save_to, fs=fs, RT60=RT60, room_sz=room_sz, pos_src=pos_src,
         pos_rcv=pos_rcv, pos_noise=pos_noise, rir=rir, rir_dp=rir_dp,
@@ -66,15 +69,19 @@ def render_room(par: dict, fs: int, rir_dir: str, setdir: str,
 
 def generate_rir_files(sampler: RirConfigSampler, rir_dir: str,
                        rir_nums: Tuple[int, int, int],
-                       split_trajectory: Optional[int] = None) -> None:
+                       split_trajectory: Optional[int] = None,
+                       length_round: int = 1) -> None:
     rir_dir = os.path.expanduser(rir_dir)
     n_train, n_val, n_test = rir_nums
     total = n_train + n_val + n_test
     for index in range(total):
         setdir = ("train" if index < n_train
                   else "validation" if index < n_train + n_val else "test")
+        if os.path.exists(os.path.join(rir_dir, setdir, f"{index}.npz")):
+            continue  # resumable: rooms are deterministic in (seed, index)
         par = sampler.sample(index)
-        render_room(par, sampler.fs, rir_dir, setdir, split_trajectory)
+        render_room(par, sampler.fs, rir_dir, setdir, split_trajectory,
+                    length_round=length_round)
 
 
 def main():
@@ -90,6 +97,8 @@ def main():
     p.add_argument("--trajectory", default=None,
                    help="e.g. '4points+sin,0.05' for moving sources")
     p.add_argument("--split_trajectory", type=int, default=None)
+    p.add_argument("--length_round", type=int, default=2048,
+                   help="round RIR length up to a multiple (bounds recompiles)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -102,7 +111,7 @@ def main():
         arr_geometry=args.arr_geometry, mic_num=args.mic_num, fs=args.fs,
         RT60_lim=tuple(args.RT60_lim), trajectory=traj, seed=args.seed)
     generate_rir_files(sampler, args.rir_dir, tuple(args.rir_nums),
-                       args.split_trajectory)
+                       args.split_trajectory, length_round=args.length_round)
 
 
 if __name__ == "__main__":

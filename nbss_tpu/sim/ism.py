@@ -59,60 +59,89 @@ def beta_from_t60(room_sz, T60: float, abs_weights=None) -> Tuple[np.ndarray, fl
     return beta.astype(np.float32), float(err)
 
 
-def _image_grid(room_sz, T60: float, c: float) -> np.ndarray:
-    """All image indices [(n, p) combos, 6] = (nx, ny, nz, px, py, pz)."""
+def _grid_dims(room_sz, T60: float, c: float) -> Tuple[int, int, int]:
+    """Per-axis image orders n: images span [-n, n] on each axis."""
     if T60 <= 0:
-        return np.zeros((1, 6), np.int32)  # direct path only
+        return (0, 0, 0)  # direct path only
     max_dist = c * (T60 + 0.1)
-    ns = [int(math.ceil(max_dist / (2.0 * L))) for L in room_sz]
-    grids = np.meshgrid(
-        *[np.arange(-n, n + 1) for n in ns], [0, 1], [0, 1], [0, 1],
-        indexing="ij")
-    idx = np.stack([g.reshape(-1) for g in grids], axis=-1)  # [K, 6]
-    # order columns as nx, ny, nz, px, py, pz
-    return idx.astype(np.int32)
+    return tuple(int(math.ceil(max_dist / (2.0 * L))) for L in room_sz)
 
 
-@partial(jax.jit, static_argnames=("L", "fs", "c"))
-def _accumulate_spectrum(img_idx, room_sz, pos_src, pos_rcv, beta, L: int,
-                         fs: int, c: float):
-    """H [M, L//2+1] complex64 for one source; img_idx [K, 6] int32."""
-    M = pos_rcv.shape[0]
+@partial(jax.jit, static_argnames=("L", "fs", "c", "chunk"))
+def _ism_rir(room_sz, pos_src, pos_rcv, beta, ns, n_img, L: int, fs: int,
+             c: float, chunk: int = 1024):
+    """Whole-room image-source RIR in ONE device program.
+
+    Image indices are decoded arithmetically on device from a flat counter
+    (no [K, 6] index upload, no per-chunk host dispatch — the tunneled
+    backend's per-call latency made a host-side chunk loop dispatch-bound).
+    A ``lax.fori_loop`` with a data-dependent trip count accumulates the
+    spectrum in chunks that XLA fuses into a single [chunk, S, M, F]
+    reduction pass; the final irfft happens in the same program, so outputs
+    are real (complex transfers are UNIMPLEMENTED on the tunneled backend).
+
+    ns: int32 [3] per-axis image order (images span [-n, n]); n_img = total
+    image count = prod(2*ns+1)*8. Returns rir [S, M, L] float32.
+    """
+    S = pos_src.shape[0]
     F = L // 2 + 1
-    n = img_idx[:, :3].astype(jnp.float32)  # [K, 3]
-    p = img_idx[:, 3:].astype(jnp.float32)
+    Dy = 2 * ns[1] + 1
+    Dz = 2 * ns[2] + 1
 
-    # image positions: (1 - 2p) * s + 2 n room
-    img_pos = (1.0 - 2.0 * p) * pos_src[None, :] + 2.0 * n * room_sz[None, :]
-    # reflection amplitude: beta1^|n| * beta0^|n - p| per axis
-    n_abs = jnp.abs(img_idx[:, :3]).astype(jnp.float32)
-    np_abs = jnp.abs(img_idx[:, :3] - img_idx[:, 3:]).astype(jnp.float32)
     b0 = beta[jnp.asarray([0, 2, 4])][None, :]  # walls at 0
     b1 = beta[jnp.asarray([1, 3, 5])][None, :]  # walls at L
-    refl = jnp.prod(b1 ** n_abs * b0 ** np_abs, axis=-1)  # [K]
-
-    d = jnp.linalg.norm(img_pos[:, None, :] - pos_rcv[None, :, :], axis=-1)  # [K, M]
-    amp = refl[:, None] / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))  # [K, M]
-    delay = d * (fs / c)  # samples, [K, M]
-    # drop images beyond the RIR length (their energy is truncated anyway);
-    # clamp afterwards so the int32 twiddle index can't overflow on the
-    # masked (possibly sentinel) entries
-    amp = jnp.where(delay < L - 1, amp, 0.0)
-    delay = jnp.minimum(delay, jnp.float32(L - 1))
-
-    d_int = jnp.floor(delay).astype(jnp.int32)
-    d_frac = delay - d_int.astype(jnp.float32)
-
     k = jnp.arange(F, dtype=jnp.int32)  # [F]
-    # integer part: exact modular twiddle exp(-2i pi k d_int / L)
-    m_int = (k[None, None, :] * (d_int[..., None] % L)) % L  # [K, M, F] int32
-    ang_int = (-2.0 * jnp.pi / L) * m_int.astype(jnp.float32)
-    # fractional part: small angles, fp32-accurate
-    ang_frac = (-2.0 * jnp.pi / L) * (k[None, None, :].astype(jnp.float32)
-                                      * d_frac[..., None])
-    ang = ang_int + ang_frac
-    H = jnp.sum(amp[..., None] * jax.lax.complex(jnp.cos(ang), jnp.sin(ang)), axis=0)
-    return H  # [M, F]
+
+    def body(ci, acc):
+        re_acc, im_acc = acc
+        q = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)  # [chunk]
+        valid = q < n_img
+        pb = q % 8
+        r = q // 8
+        iz = r % Dz
+        r = r // Dz
+        iy = r % Dy
+        ix = r // Dy
+        n = jnp.stack([ix - ns[0], iy - ns[1], iz - ns[2]], axis=-1)  # [K, 3]
+        p = jnp.stack([(pb >> 2) & 1, (pb >> 1) & 1, pb & 1], axis=-1)
+
+        # image positions: (1 - 2p) * s + 2 n room   -> [K, S, 3]
+        nf = n.astype(jnp.float32)
+        pf = p.astype(jnp.float32)
+        img_pos = ((1.0 - 2.0 * pf)[:, None, :] * pos_src[None, :, :]
+                   + (2.0 * nf * room_sz[None, :])[:, None, :])
+        # reflection amplitude: beta1^|n| * beta0^|n - p| per axis
+        n_abs = jnp.abs(n).astype(jnp.float32)
+        np_abs = jnp.abs(n - p).astype(jnp.float32)
+        refl = jnp.prod(b1 ** n_abs * b0 ** np_abs, axis=-1)  # [K]
+        refl = jnp.where(valid, refl, 0.0)
+
+        d = jnp.linalg.norm(img_pos[:, :, None, :] - pos_rcv[None, None, :, :],
+                            axis=-1)  # [K, S, M]
+        amp = refl[:, None, None] / (4.0 * jnp.pi * jnp.maximum(d, 1e-2))
+        delay = d * (fs / c)  # samples, [K, S, M]
+        # drop images beyond the RIR length (their energy is truncated
+        # anyway); clamp so the int32 twiddle index can't overflow
+        amp = jnp.where(delay < L - 1, amp, 0.0)
+        delay = jnp.minimum(delay, jnp.float32(L - 1))
+
+        d_int = jnp.floor(delay).astype(jnp.int32)
+        d_frac = delay - d_int.astype(jnp.float32)
+        # integer part: exact modular twiddle exp(-2i pi k d_int / L);
+        # fractional part: small angles, fp32-accurate
+        m_int = (k[None, None, None, :] * (d_int[..., None] % L)) % L
+        ang = (-2.0 * jnp.pi / L) * (m_int.astype(jnp.float32)
+                                     + k[None, None, None, :].astype(jnp.float32)
+                                     * d_frac[..., None])
+        re_acc = re_acc + jnp.sum(amp[..., None] * jnp.cos(ang), axis=0)
+        im_acc = im_acc + jnp.sum(amp[..., None] * jnp.sin(ang), axis=0)
+        return re_acc, im_acc
+
+    M = pos_rcv.shape[0]
+    zero = jnp.zeros((S, M, F), jnp.float32)
+    n_chunks = (n_img + chunk - 1) // chunk
+    re, im = jax.lax.fori_loop(0, n_chunks, body, (zero, zero))
+    return jnp.fft.irfft(jax.lax.complex(re, im), n=L, axis=-1)
 
 
 def simulate_rir(
@@ -123,13 +152,17 @@ def simulate_rir(
     fs: int,
     beta: Optional[np.ndarray] = None,
     c: float = 343.0,
-    image_chunk: int = 2048,
+    image_chunk: int = 1024,
+    length_round: int = 1,
 ) -> np.ndarray:
     """Simulate RIRs. Returns [n_src, n_mic, L] float32 with
-    L = int((T60 + 0.1) * fs).
+    L = int((T60 + 0.1) * fs) rounded up to a multiple of ``length_round``.
 
-    ``T60 == 0`` gives the direct-path-only RIR. Images are processed in
-    chunks of ``image_chunk`` to bound the [K, M, F] intermediate.
+    ``T60 == 0`` gives the direct-path-only RIR. The whole room runs as one
+    device program (see ``_ism_rir``); ``image_chunk`` bounds the fused
+    [chunk, S, M, F] reduction pass. Corpus generation passes
+    ``length_round > 1`` so the kernel compiles once per length bucket
+    instead of once per room.
     """
     room_sz = np.asarray(room_sz, np.float32)
     pos_src = np.atleast_2d(np.asarray(pos_src, np.float32))
@@ -142,29 +175,15 @@ def simulate_rir(
     beta = np.asarray(beta, np.float32)
 
     L = int((T60 + 0.1) * fs)
-    F = L // 2 + 1
-    idx = _image_grid(room_sz, T60, c)
-    S, M = pos_src.shape[0], pos_rcv.shape[0]
+    L = -(-L // length_round) * length_round
+    ns = _grid_dims(room_sz, T60, c)
+    n_img = (2 * ns[0] + 1) * (2 * ns[1] + 1) * (2 * ns[2] + 1) * 8
 
-    # pad the image list to a chunk multiple with far-away sentinel images
-    # (masked out by the delay >= L cut) so every chunk compiles once
-    if idx.shape[0] % image_chunk:
-        pad = image_chunk - idx.shape[0] % image_chunk
-        sentinel = np.full((pad, 6), 10000, np.int32)
-        idx = np.concatenate([idx, sentinel], axis=0)
-
-    out = np.empty((S, M, L), np.float32)
-    room_j = jnp.asarray(room_sz)
-    rcv_j = jnp.asarray(pos_rcv)
-    beta_j = jnp.asarray(beta)
-    for s in range(S):
-        H = jnp.zeros((M, F), jnp.complex64)
-        for k0 in range(0, idx.shape[0], image_chunk):
-            chunk = jnp.asarray(idx[k0:k0 + image_chunk])
-            H = H + _accumulate_spectrum(chunk, room_j, jnp.asarray(pos_src[s]),
-                                         rcv_j, beta_j, L, fs, c)
-        out[s] = np.asarray(jnp.fft.irfft(H, n=L, axis=-1), np.float32)
-    return out
+    rir = _ism_rir(
+        jnp.asarray(room_sz), jnp.asarray(pos_src), jnp.asarray(pos_rcv),
+        jnp.asarray(beta), jnp.asarray(ns, dtype=jnp.int32),
+        jnp.int32(n_img), L, fs, c, chunk=image_chunk)
+    return np.asarray(rir, np.float32)
 
 
 def simulate_direct_path(room_sz, pos_src, pos_rcv, fs: int, c: float = 343.0):

@@ -1,0 +1,171 @@
+"""Tests for the on-device mixture synthesis pipeline (data/device_mix.py).
+
+Covers: determinism keyed by (index, seed), SNR/SIR correctness by
+construction, overlap mask semantics, speech synthesis sanity, spatial
+coherence of the diffuse noise, and the DataModule/loader integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nbss_tpu.data.device_mix import (
+    DeviceSyntheticDataModule, fft_convolve, mix_batch, synth_speech,
+    _sample_overlap, _diffuse_noise)
+from nbss_tpu.io.stft import STFT
+
+
+def test_fft_convolve_matches_numpy(rng):
+    x = rng.standard_normal((3, 100)).astype(np.float32)
+    h = rng.standard_normal((3, 17)).astype(np.float32)
+    out = np.asarray(fft_convolve(jnp.asarray(x), jnp.asarray(h), nfft=128))
+    for i in range(3):
+        ref = np.convolve(x[i], h[i])
+        np.testing.assert_allclose(out[i, :116], ref, atol=1e-3)
+
+
+def test_synth_speech_properties():
+    y = np.asarray(synth_speech(jax.random.PRNGKey(0), 16000, 8000))
+    assert y.shape == (16000,)
+    assert np.abs(y).max() > 0  # never fully silent
+    y2 = np.asarray(synth_speech(jax.random.PRNGKey(0), 16000, 8000))
+    np.testing.assert_array_equal(y, y2)  # deterministic per key
+    y3 = np.asarray(synth_speech(jax.random.PRNGKey(1), 16000, 8000))
+    assert np.abs(y - y3).max() > 0
+
+
+def test_sample_overlap_bounds():
+    T = 32000
+    for t in ("mid", "full", "headtail", "hms", "fhms"):
+        from nbss_tpu.data.device_mix import OVLP_SET
+
+        for i in range(5):
+            lens, shifts = jax.jit(
+                lambda k: _sample_overlap(k, OVLP_SET[t], (0.1, 1.0), T)
+            )(jax.random.PRNGKey(i))
+            lens, shifts = np.asarray(lens), np.asarray(shifts)
+            assert (lens >= 1).all() and (lens <= T).all(), (t, lens)
+            assert (shifts >= 0).all(), (t, shifts)
+            assert (shifts + lens <= T).all(), (t, lens, shifts)
+
+
+def test_diffuse_noise_spatial_coherence(rng):
+    """Generated noise must exhibit the sinc spatial coherence (the check the
+    reference does by plotting, diffuse_noise.py:96-132)."""
+    from nbss_tpu.data.diffuse import spatial_coherence_mixing_matrices
+
+    pos = np.stack([np.zeros(4), np.arange(4) * 0.05, np.zeros(4)], axis=-1)
+    DSC, Cs = spatial_coherence_mixing_matrices(pos, fs=8000, nfft=256)
+    st = STFT(n_fft=256, n_hop=64)
+    n = _diffuse_noise(jax.random.PRNGKey(3), 4, 8000 * 30,
+                       jnp.asarray(Cs.real, jnp.float32),
+                       jnp.asarray(Cs.imag, jnp.float32), st)
+    n = np.asarray(n)
+    # measure coherence between mics 0,1 at a mid frequency band
+    from scipy.signal import csd
+
+    f, P01 = csd(n[0], n[1], fs=8000, nperseg=256)
+    _, P00 = csd(n[0], n[0], fs=8000, nperseg=256)
+    _, P11 = csd(n[1], n[1], fs=8000, nperseg=256)
+    coh = np.real(P01 / np.sqrt(P00 * P11))
+    d = 0.05
+    expect = np.sinc(2 * f * d / 343.0)
+    band = (f > 300) & (f < 3000)
+    err = np.abs(coh[band] - expect[band]).mean()
+    assert err < 0.25, err
+
+
+def _toy_rirs(B, S, C, Lr, Ld, rng):
+    rir = np.zeros((B, S, C, Lr), np.float32)
+    dp = np.zeros((B, S, C, Ld), np.float32)
+    for b in range(B):
+        for s in range(S):
+            d0 = rng.integers(10, 40)
+            for c in range(C):
+                rir[b, s, c, d0 + c] = 1.0
+                rir[b, s, c, d0 + c + 50:Lr:97] = 0.2  # sparse tail
+                dp[b, s, c, d0 + c] = 1.0
+    return rir, dp
+
+
+def test_mix_batch_shapes_and_determinism(rng):
+    B, S, C, T = 2, 2, 4, 8000
+    rir, dp = _toy_rirs(B, S, C, 512, 128, rng)
+    from nbss_tpu.data.diffuse import spatial_coherence_mixing_matrices
+
+    pos = np.stack([np.zeros(C), np.arange(C) * 0.04, np.zeros(C)], -1)
+    _, Cs = spatial_coherence_mixing_matrices(pos, fs=8000, nfft=256)
+    kw = dict(T=T, fs=8000, rir_len=512, dp_len=128, ovlp="mid",
+              ratio_range=(0.1, 1.0), sir_range=(-5.0, 5.0),
+              snr_range=(5.0, 20.0), noise_types=("white",))
+    key = jax.random.PRNGKey(0)
+    seeds = jnp.asarray([11, 22], jnp.int32)
+    cs_re = jnp.asarray(Cs.real, jnp.float32)
+    cs_im = jnp.asarray(Cs.imag, jnp.float32)
+    x, ys = mix_batch(key, seeds, jnp.asarray(rir), jnp.asarray(dp),
+                      cs_re, cs_im, **kw)
+    assert x.shape == (B, C, T) and ys.shape == (B, S, C, T)
+    x2, ys2 = mix_batch(key, seeds, jnp.asarray(rir), jnp.asarray(dp),
+                        cs_re, cs_im, **kw)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+    # same seed in different batch slots -> same item
+    seeds3 = jnp.asarray([22, 11], jnp.int32)
+    x3, _ = mix_batch(key, seeds3, jnp.asarray(rir[::-1]), jnp.asarray(dp[::-1]),
+                      cs_re, cs_im, **kw)
+    np.testing.assert_allclose(np.asarray(x3[1]), np.asarray(x[0]), atol=1e-6)
+    # peak normalization to 0.9
+    peak = max(np.abs(np.asarray(x)).max(), np.abs(np.asarray(ys)).max())
+    np.testing.assert_allclose(peak, 0.9, atol=1e-3)
+
+
+def test_mix_batch_full_overlap_snr(rng):
+    """With ovlp=full and identity direct-path rirs, the mixture equals
+    sum(targets) + noise at the sampled SNR."""
+    B, S, C, T = 1, 2, 4, 8000
+    rir = np.zeros((B, S, C, 256), np.float32)
+    rir[..., 0] = 1.0  # identity
+    dp = rir[..., :128].copy()
+    from nbss_tpu.data.diffuse import spatial_coherence_mixing_matrices
+
+    pos = np.stack([np.zeros(C), np.arange(C) * 0.04, np.zeros(C)], -1)
+    _, Cs = spatial_coherence_mixing_matrices(pos, fs=8000, nfft=256)
+    x, ys = mix_batch(
+        jax.random.PRNGKey(1), jnp.asarray([7], jnp.int32),
+        jnp.asarray(rir), jnp.asarray(dp),
+        jnp.asarray(Cs.real, jnp.float32), jnp.asarray(Cs.imag, jnp.float32),
+        T=T, fs=8000, rir_len=256, dp_len=128, ovlp="full",
+        ratio_range=(1.0, 1.0), sir_range=(-2.0, 2.0),
+        snr_range=(10.0, 10.0), noise_types=("white",))
+    x, ys = np.asarray(x), np.asarray(ys)
+    noise = x[0] - ys[0].sum(axis=0)
+    snr = 10 * np.log10((ys[0].sum(0) ** 2).mean() / (noise ** 2).mean())
+    assert abs(snr - 10.0) < 0.5, snr
+
+
+def _make_tiny_corpus(tmp_path, n_train=2, n_val=1, n_test=1):
+    from nbss_tpu.sim.config import RirConfigSampler
+    from nbss_tpu.sim.generate import generate_rir_files
+
+    sampler = RirConfigSampler(spk_num=2, noise_num=0, arr_geometry="circular",
+                               mic_num=4, fs=8000, RT60_lim=(0.1, 0.2), seed=1)
+    generate_rir_files(sampler, str(tmp_path), (n_train, n_val, n_test),
+                       length_round=2048)
+
+
+def test_device_synthetic_datamodule(tmp_path):
+    _make_tiny_corpus(tmp_path)
+    dm = DeviceSyntheticDataModule(
+        rir_dir=str(tmp_path), num_spk=2, sample_rate=8000,
+        audio_time_len=(1.0, 1.0, 1.0, 1.0), num_items=(4, 2, 2, 2),
+        rir_len=2048, dp_len=1024, batch_size=(2, 1), noise_type=("white",))
+    it = iter(dm.train_dataloader(epoch=0))
+    x, ys, paras = next(it)
+    assert x.shape == (2, 4, 8000) and ys.shape == (2, 2, 4, 8000)
+    assert paras[0]["sample_rate"] == 8000 and "seed" in paras[0]
+    # val loader is seed-fixed -> identical across constructions
+    v1 = next(iter(dm.val_dataloader()))
+    v2 = next(iter(dm.val_dataloader()))
+    np.testing.assert_array_equal(np.asarray(v1[0]), np.asarray(v2[0]))
+    # test loader yields numpy
+    t1 = next(iter(dm.test_dataloader()))
+    assert isinstance(t1[0], np.ndarray)
