@@ -1,18 +1,24 @@
-"""DNSMOS P.835 bridge (optional; requires onnxruntime + model files).
+"""DNSMOS P.835 + P.808 bridge (optional; requires onnxruntime + models).
 
-Counterpart of /root/reference/models/utils/dnsmos.py:166-251. The ONNX
-models come from microsoft/DNS-Challenge; this environment has no network
-egress, so models must be placed under ``~/.cache/nbss_tpu/dnsmos`` (or the
-path in $DNSMOS_DIR): sig_bak_ovr.onnx and model_v8.onnx (and their p835
-personalized variants). Raises ImportError/FileNotFoundError with that
-message otherwise — callers degrade the metric to None.
+Counterpart of /root/reference/models/utils/dnsmos.py:107-251. Two ONNX
+models per variant: ``sig_bak_ovr.onnx`` (raw SIG/BAK/OVR, polyfit-calibrated)
+and ``model_v8.onnx`` (P.808 MOS from a log-mel spectrogram). The models come
+from microsoft/DNS-Challenge; this environment has no network egress, so they
+must be placed under ``~/.cache/nbss_tpu/dnsmos`` (or $DNSMOS_DIR):
+
+    DNSMOS/sig_bak_ovr.onnx   DNSMOS/model_v8.onnx
+    pDNSMOS/sig_bak_ovr.onnx  (personalized variant)
+
+Raises ImportError/FileNotFoundError otherwise — callers degrade the metric
+to None. Returns the reference's 4-tuple {p808, sig, bak, ovr} averaged over
+9.01 s hops and sources (dnsmos.py:221-251).
 """
 
 from __future__ import annotations
 
 import functools
 import os
-from typing import Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -25,53 +31,72 @@ def _model_dir() -> str:
         "DNSMOS_DIR", os.path.expanduser("~/.cache/nbss_tpu/dnsmos"))
 
 
-@functools.lru_cache(maxsize=4)
-def _session(personalized: bool):
+@functools.lru_cache(maxsize=8)
+def _session(personalized: bool, model: str = "sig_bak_ovr.onnx"):
     import onnxruntime as ort  # optional dependency
 
     sub = "pDNSMOS" if personalized else "DNSMOS"
-    path = os.path.join(_model_dir(), sub, "sig_bak_ovr.onnx")
+    path = os.path.join(_model_dir(), sub, model)
+    if not os.path.exists(path) and model == "model_v8.onnx":
+        # the p808 model is shared between variants in the DNS release
+        path = os.path.join(_model_dir(), "DNSMOS", model)
     if not os.path.exists(path):
         raise FileNotFoundError(
-            f"DNSMOS model not found at {path}; download sig_bak_ovr.onnx from "
+            f"DNSMOS model not found at {path}; download {model} from "
             "github.com/microsoft/DNS-Challenge and place it there (no egress here).")
     return ort.InferenceSession(path, providers=["CPUExecutionProvider"])
 
 
-def _melspec(audio: np.ndarray, n_mels: int = 120) -> np.ndarray:
-    """log-power mel spectrogram (librosa-compatible enough for DNSMOS)."""
-    from scipy.signal import stft
-
-    nfft = 321 * 2 - 2  # frame size 320, hop 160 per DNSMOS recipe
-    _, _, S = stft(audio, fs=SAMPLING_RATE, nperseg=320, noverlap=160, nfft=640)
-    power = np.abs(S) ** 2
-    mel_fb = _mel_filterbank(n_mels, 640, SAMPLING_RATE)
-    mel = mel_fb @ power
-    return (np.log10(np.maximum(mel, 1e-10)) + 0.5).T.astype(np.float32)
+def _melspec(audio: np.ndarray, n_mels: int = 120, frame_size: int = 320,
+             hop: int = 160, fs: int = SAMPLING_RATE) -> np.ndarray:
+    """log-power mel spectrogram matching the reference's librosa call
+    (dnsmos.py:107-137: n_fft=frame_size+1, hop 160, slaney mel, power_to_db
+    ref=max, then (dB + 40) / 40). audio [T] -> [T', n_mels] float32."""
+    n_fft = frame_size + 1
+    # librosa center=True: reflect-pad by n_fft // 2
+    pad = n_fft // 2
+    x = np.pad(audio.astype(np.float64), (pad, pad), mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[idx] * np.hanning(n_fft + 1)[:-1]  # periodic hann, librosa-style
+    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1)) ** 2  # [T', F]
+    mel = spec @ _mel_filterbank(n_mels, n_fft, fs).T  # [T', n_mels]
+    db = 10.0 * np.log10(np.maximum(mel, 1e-10))
+    db = np.maximum(db, db.max() - 80.0) - 10.0 * np.log10(max(mel.max(), 1e-10))
+    return ((db + 40.0) / 40.0).astype(np.float32)
 
 
 def _mel_filterbank(n_mels: int, nfft: int, fs: int) -> np.ndarray:
+    """Slaney-style mel filterbank (librosa default): triangular filters on
+    the mel scale with 'slaney' area normalization. [n_mels, nfft//2+1]."""
     def hz_to_mel(f):
-        return 2595.0 * np.log10(1.0 + f / 700.0)
+        f = np.asarray(f, np.float64)
+        m = f / (200.0 / 3.0)
+        log_region = f >= 1000.0
+        m = np.where(log_region,
+                     15.0 + np.log(np.maximum(f, 1e-9) / 1000.0) / np.log(6.4) * 27.0,
+                     m)
+        return m
 
     def mel_to_hz(m):
-        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+        m = np.asarray(m, np.float64)
+        f = m * (200.0 / 3.0)
+        return np.where(m >= 15.0, 1000.0 * np.exp(np.log(6.4) / 27.0 * (m - 15.0)), f)
 
     n_freqs = nfft // 2 + 1
-    mels = np.linspace(hz_to_mel(0), hz_to_mel(fs / 2), n_mels + 2)
-    hz = mel_to_hz(mels)
-    bins = np.floor((nfft + 1) * hz / fs).astype(int)
+    freqs = np.linspace(0, fs / 2, n_freqs)
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(fs / 2.0), n_mels + 2))
     fb = np.zeros((n_mels, n_freqs))
     for i in range(n_mels):
-        lo, ce, hi = bins[i], bins[i + 1], bins[i + 2]
-        if ce > lo:
-            fb[i, lo:ce] = (np.arange(lo, ce) - lo) / (ce - lo)
-        if hi > ce:
-            fb[i, ce:hi] = (hi - np.arange(ce, hi)) / (hi - ce)
+        lo, ce, hi = mel_pts[i], mel_pts[i + 1], mel_pts[i + 2]
+        up = (freqs - lo) / max(ce - lo, 1e-9)
+        down = (hi - freqs) / max(hi - ce, 1e-9)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+        fb[i] *= 2.0 / (hi - lo)  # slaney normalization
     return fb
 
 
-def _poly_fit(sig, bak, ovr, personalized: bool):
+def _polyfit_val(sig, bak, ovr, personalized: bool):
     if personalized:
         p_ovr = np.poly1d([-0.00533021, 0.005101, 1.18058466, -0.11236046])
         p_sig = np.poly1d([-0.01019296, 0.02751166, 1.19576786, -0.24348726])
@@ -83,26 +108,42 @@ def _poly_fit(sig, bak, ovr, personalized: bool):
     return p_sig(sig), p_bak(bak), p_ovr(ovr)
 
 
-def dnsmos(preds: np.ndarray, fs: int, personalized: bool = False) -> Optional[float]:
-    """Mean OVRL MOS across sources. preds: [spk, T]."""
+def dnsmos(preds: np.ndarray, fs: int,
+           personalized: bool = False) -> Dict[str, Optional[float]]:
+    """{p808, sig, bak, ovr} MOS means across sources and 9.01 s hops
+    (reference dnsmos.py:221-251). preds: [spk, T] or [T]. p808 is None when
+    model_v8.onnx is absent (the other three still compute)."""
     from scipy.signal import resample_poly
 
     sess = _session(personalized)
-    scores = []
+    try:
+        p808_sess = _session(personalized, "model_v8.onnx")
+    except (FileNotFoundError, ImportError):
+        p808_sess = None
+
+    sums = {"p808": [], "sig": [], "bak": [], "ovr": []}
     for wav in np.atleast_2d(preds):
         if fs != SAMPLING_RATE:
             g = np.gcd(fs, SAMPLING_RATE)
             wav = resample_poly(wav, SAMPLING_RATE // g, fs // g)
+        wav = wav / max(np.max(np.abs(wav)), 1e-9)  # dnsmos.py:219 normalize
         seg_len = int(INPUT_LENGTH * SAMPLING_RATE)
-        if len(wav) < seg_len:
-            wav = np.tile(wav, -(-seg_len // len(wav)))[:seg_len]
-        hops = range(0, max(len(wav) - seg_len + 1, 1), SAMPLING_RATE)
-        seg_scores = []
-        for s in hops:
-            seg = wav[s:s + seg_len].astype(np.float32)
-            out = sess.run(None, {"input_1": seg[None, :]})
-            sig, bak, ovr = float(out[0][0][0]), float(out[0][0][1]), float(out[0][0][2])
-            _, _, ovr_c = _poly_fit(sig, bak, ovr, personalized)
-            seg_scores.append(ovr_c)
-        scores.append(np.mean(seg_scores))
-    return float(np.mean(scores))
+        while len(wav) < seg_len:
+            wav = np.concatenate([wav, wav])
+        num_hops = int(np.floor(len(wav) / SAMPLING_RATE) - INPUT_LENGTH) + 1
+        for h in range(max(num_hops, 1)):
+            seg = wav[h * SAMPLING_RATE: h * SAMPLING_RATE + seg_len]
+            if len(seg) < seg_len:
+                continue
+            seg = seg.astype(np.float32)
+            raw = sess.run(None, {"input_1": seg[None, :]})[0][0]
+            sig, bak, ovr = _polyfit_val(float(raw[0]), float(raw[1]),
+                                         float(raw[2]), personalized)
+            sums["sig"].append(sig)
+            sums["bak"].append(bak)
+            sums["ovr"].append(ovr)
+            if p808_sess is not None:
+                feats = _melspec(seg[:-160])[None].astype(np.float32)
+                sums["p808"].append(float(
+                    p808_sess.run(None, {"input_1": feats})[0][0][0]))
+    return {k: (float(np.mean(v)) if v else None) for k, v in sums.items()}

@@ -62,6 +62,8 @@ def _one_metric(name: str, preds: np.ndarray, target: np.ndarray, fs: int) -> Op
         if name in ("DNSMOS", "pDNSMOS"):
             from nbss_tpu.eval.dnsmos import dnsmos
 
+            # dict of {p808, sig, bak, ovr} — expanded by cal_metrics into
+            # '<m>_p808' etc. (reference metrics.py:108-112)
             return dnsmos(preds, fs, personalized=name == "pDNSMOS")
     except Exception as e:  # degrade per-metric failures to None
         warnings.warn(f"metric {name} failed: {e}")
@@ -99,6 +101,16 @@ def cal_metrics(
     for m in selected:
         v = _one_metric(m, preds, target, fs)
         vi = _one_metric(m, original, target, fs)
+        if isinstance(v, dict) or isinstance(vi, dict):
+            # multi-valued metric (DNSMOS) -> '<m>_p808' / '_sig' / ... keys
+            for sub in (v or vi or {}):
+                sv = (v or {}).get(sub)
+                si = (vi or {}).get(sub)
+                out[f"{m}_{sub}"] = sv
+                inp[f"input_{m}_{sub}"] = si
+                imp[f"{m}_{sub}_i"] = ((sv - si) if (sv is not None and si is not None)
+                                       else None)
+            continue
         out[m] = v
         inp[f"input_{m}"] = vi
         imp[f"{m}_i"] = (v - vi) if (v is not None and vi is not None) else None

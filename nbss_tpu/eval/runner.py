@@ -52,32 +52,42 @@ def run_test(trainer, module, test_loader, log_dir: str,
     test_step = jax.jit(module.test_step)
 
     seen = set()
+    item_idx = 0
     for batch_idx, (x, ys, paras) in enumerate(test_loader):
-        wavname = os.path.basename(f"{paras[0].get('wavname', paras[0].get('index', batch_idx))}")
-        if wavname in seen:  # dedup padded duplicates from rank striding
-            continue
-        seen.add(wavname)
         out = test_step(trainer.params, (jnp.asarray(x), jnp.asarray(ys)))
-        yr_hat = np.asarray(out["yr_hat"][0])
-        yr = np.asarray(out["yr"][0])
-        x_ref = np.asarray(out["x_ref"][0])
-        fs = paras[0].get("sample_rate", 16000)
+        batch_loss = float(out["loss"])  # batch-mean (per-item not separable)
+        yr_hat_b = np.asarray(out["yr_hat"])
+        yr_b = np.asarray(out["yr"])
+        x_ref_b = np.asarray(out["x_ref"])
+        for b in range(yr_hat_b.shape[0]):
+            para = paras[b] if b < len(paras) else {}
+            wavname = os.path.basename(
+                f"{para.get('wavname', para.get('index', item_idx))}")
+            if wavname in seen:  # dedup padded duplicates from rank striding
+                continue
+            seen.add(wavname)
+            yr_hat, yr, x_ref = yr_hat_b[b], yr_b[b], x_ref_b[b]
+            fs = para.get("sample_rate", 16000)
 
-        result = {"id": batch_idx, "wavname": wavname,
-                  module.loss.name: float(out["loss"])}
-        m, im, imp = cal_metrics(metrics, yr_hat, yr, np.broadcast_to(x_ref, yr.shape),
-                                 fs, device_only="device", chunk=mchunk)
-        result.update(im)
-        result.update(imp)
-        result.update(m)
-        host_inputs.append((metrics, yr_hat, yr,
-                            np.broadcast_to(x_ref, yr.shape).copy(), fs, "host", mchunk))
+            result = {"id": item_idx, "wavname": wavname,
+                      module.loss.name: batch_loss}
+            m, im, imp = cal_metrics(metrics, yr_hat, yr,
+                                     np.broadcast_to(x_ref, yr.shape),
+                                     fs, device_only="device", chunk=mchunk)
+            result.update(im)
+            result.update(imp)
+            result.update(m)
+            host_inputs.append((metrics, yr_hat, yr,
+                                np.broadcast_to(x_ref, yr.shape).copy(), fs,
+                                "host", mchunk))
 
-        if write_examples < 0 or batch_idx < write_examples:
-            _write_example(examples_dir, wavname, x_ref, yr, yr_hat, fs, paras[0], result)
+            if write_examples < 0 or item_idx < write_examples:
+                _write_example(examples_dir, wavname, x_ref, yr, yr_hat, fs,
+                               para, result)
 
-        result["paras"] = _jsonable(paras[0])
-        results.append(result)
+            result["paras"] = _jsonable(para)
+            results.append(result)
+            item_idx += 1
 
     # host metrics in a process pool (reference general_steps.py:36-41)
     if host_inputs:

@@ -144,6 +144,10 @@ class Loss:
             Yr, _ = stft.stft(yr)
             preds, target = out, build_complex_ideal_ratio_mask(noisy=Xr, clean=Yr)
         elif self.name == "cc_mse":  # compare normalized STFT coefficients
+            if XrMM is None:  # Norm(mode='none') provides no magnitudes
+                raise ValueError(
+                    "cc_mse requires an input normalization that produces "
+                    "reference-channel magnitudes (Norm mode != 'none')")
             Yr, _ = stft.stft(yr)
             preds, target = out, Yr / XrMM
         else:

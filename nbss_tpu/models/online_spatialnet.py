@@ -232,9 +232,18 @@ class OnlineSpatialNetLayer(nn.Module):
                 "conv": jnp.zeros((B * F, cfg["d_conv"] - 1, d_inner), dtype),
                 "ssm": jnp.zeros((B * F, d_inner, cfg["d_state"]), jnp.float32),
             }
-        else:
-            raise NotImplementedError(
-                "streaming_step supports ret(...)/mamba(...) time modules")
+        else:  # mhsa(N): KV ring buffer over the local attention scope
+            scope = cfg["scope"]
+            if not math.isfinite(scope):
+                raise NotImplementedError(
+                    "streaming mhsa requires a finite attention scope; "
+                    "use mhsa(N) (reference OnlineSpatialNet.py:196-200 "
+                    "re-runs masked attention per frame for the same effect)")
+            scope = int(scope)
+            st["time"] = {
+                "k": jnp.zeros((B * F, scope - 1, H), dtype),
+                "v": jnp.zeros((B * F, scope - 1, H), dtype),
+            }
         if kind == "mamba" and cfg["replace_ffn"]:
             d_inner = 2 * H
             st["ffn"] = {
@@ -248,7 +257,10 @@ class OnlineSpatialNetLayer(nn.Module):
 
     def streaming_step(self, x_t, full: nn.Module, state, rel_pos_t,
                        rope: Union[bool, str] = False):
-        """One frame: x_t [B, F, H] -> (y_t [B, F, H], state')."""
+        """One frame: x_t [B, F, H] -> (y_t [B, F, H], state').
+
+        For ``mhsa(N)`` time modules ``rel_pos_t`` is the (traced) frame
+        counter, used to mask not-yet-seen ring-buffer slots."""
         B, F, H = x_t.shape
         xt = x_t[:, None]  # [B, 1, F, H]; cross-band ops are frame-local
         xt = xt + self._fconv(self.fconv1_norm, self.fconv1_conv, self.fconv1_act, xt)
@@ -260,6 +272,10 @@ class OnlineSpatialNetLayer(nn.Module):
         if self._kind == "ret":
             y, state["time"] = self.mhsa.streaming_step(
                 y, rel_pos_t, state["time"], rope=bool(rope) and rope != "ALiBi")
+        elif self._kind == "mhsa":
+            y, state["time"] = self._mhsa_streaming_step(
+                y[:, 0], state["time"], rel_pos_t, rope)
+            y = y[:, None]
         else:  # mamba
             y, state["time"] = self.mhsa.streaming_step(y, state["time"])
         x = x + y.reshape(B, F, H)
@@ -290,6 +306,50 @@ class OnlineSpatialNetLayer(nn.Module):
                                         y.dtype).reshape(B, F, FF))
             x = x + self.tconvffn_down(y)
         return x, state
+
+    def _mhsa_streaming_step(self, y, kv_state, t, rope):
+        """Masked-local-attention step via a KV ring buffer (the capability
+        the reference gets by re-running masked attention over the tail,
+        OnlineSpatialNet.py:196-200; here O(scope) work per frame).
+
+        y [M, H] (normalized input frame); t: traced frame counter.
+        Equals the offline masked forward frame-for-frame."""
+        M, H = y.shape
+        nh = self.num_heads
+        dh = H // nh
+        p = self.mhsa.variables["params"]
+        w_in = p["in_proj"]["Dense_0"]["kernel"]
+        b_in = p["in_proj"]["Dense_0"].get("bias")
+        w_out = p["out_proj"]["Dense_0"]["kernel"]
+        b_out = p["out_proj"]["Dense_0"].get("bias")
+        dt = y.dtype
+
+        qkv = y @ w_in.astype(dt)
+        if b_in is not None:
+            qkv = qkv + b_in.astype(dt)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # [M, H] each
+        K = jnp.concatenate([kv_state["k"], k[:, None]], axis=1)  # [M, S, H]
+        V = jnp.concatenate([kv_state["v"], v[:, None]], axis=1)
+        S = K.shape[1]
+
+        qh = q.reshape(M, nh, dh)
+        Kh = K.reshape(M, S, nh, dh)
+        Vh = V.reshape(M, S, nh, dh)
+        logits = jnp.einsum("mhd,mshd->mhs", qh, Kh,
+                            preferred_element_type=jnp.float32)
+        logits = logits.astype(jnp.float32) / math.sqrt(dh)
+        rel = jnp.arange(S - 1, -1, -1)  # distance i - j per window slot
+        if rope == "ALiBi":  # per-head slope bias (alibi_mask semantics)
+            slopes = 2.0 ** (-8.0 / np.arange(1, nh + 1, dtype=np.float32))
+            logits = logits - jnp.asarray(slopes)[None, :, None] * rel[None, None, :]
+        logits = jnp.where(rel[None, None, :] <= t, logits, jnp.float32(-1e30))
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        out = jnp.einsum("mhs,mshd->mhd", probs, Vh,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(dt).reshape(M, H) @ w_out.astype(dt)
+        if b_out is not None:
+            out = out + b_out.astype(dt)
+        return out, {"k": K[:, 1:], "v": V[:, 1:]}
 
     def _fconv(self, norm, conv, act, xt):
         return act(conv(norm(xt)))  # xt: [B, T, F, H]
@@ -404,8 +464,8 @@ class OnlineSpatialNet(nn.Module):
         w, b = _conv_params(self.encoder)
         h = _streaming_conv(win.reshape(B * F, -1, self.dim_input), w, b, 1,
                             dt).reshape(B, F, self.dim_hidden)
-        rel_pos_t = (self.pos.recurrent_dynamic(state["t"])
-                     if self._kind == "ret" else None)
+        rel_pos_t = (self.pos.recurrent_dynamic(state["t"]) if self._kind == "ret"
+                     else state["t"] if self._kind == "mhsa" else None)
         for l, layer in enumerate(self.layers):
             full = self.fulls[min(l, len(self.fulls) - 1)]
             h, state["layers"][l] = layer.streaming_step(

@@ -47,6 +47,8 @@ class CheckpointManager:
         if opt_state is not None:
             self._ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
         self._ckptr.wait_until_finished()
+        if jax.process_index() != 0:  # orbax coordinates the array writes;
+            return  # metadata is rank-0's job (shared filesystem)
         meta = {"epoch": epoch, "metric": metric}
         with open(os.path.join(self.ckpt_dir, f"epoch{epoch}.json"), "w") as f:
             json.dump(meta, f)
@@ -97,18 +99,41 @@ class CheckpointManager:
         restored["epoch"] = epoch
         return restored
 
+    def _resolve_ensemble_epochs(self, opts) -> List[int]:
+        """int N -> last N epochs; list of ints -> those epochs; a string or
+        list of strings -> glob patterns / explicit checkpoint dirs (the
+        reference accepts globs and ckpt-path lists too, ensemble.py:6-52)."""
+        import glob as _glob
+
+        if isinstance(opts, int):
+            dirs = _epoch_dirs(self.ckpt_dir)
+            return [int(d[5:]) for d in dirs[-opts:]]
+        items = [opts] if isinstance(opts, str) else list(opts)
+        epochs: List[int] = []
+        for it in items:
+            if isinstance(it, int):
+                epochs.append(it)
+                continue
+            pattern = str(it)
+            matches = sorted(_glob.glob(pattern)) or sorted(
+                _glob.glob(os.path.join(self.ckpt_dir, pattern)))
+            assert matches, f"ensemble pattern matched nothing: {it}"
+            for m in matches:
+                name = os.path.basename(m.rstrip("/"))
+                em = re.match(r"^epoch(\d+)", name)
+                assert em, f"not an epoch checkpoint: {m}"
+                epochs.append(int(em.group(1)))
+        return sorted(set(epochs))
+
     def ensemble(
-        self, opts: Union[int, Sequence[int]], template=None
+        self, opts: Union[int, str, Sequence[Union[int, str]]], template=None
     ) -> Dict[str, Any]:
         """Average params across checkpoints (reference ensemble.py:6-52).
 
-        opts: int N -> last N epochs; or an explicit list of epoch numbers.
+        opts: int N -> last N epochs; a list of epoch numbers; or glob
+        pattern(s) / checkpoint dir paths (e.g. ``'epoch9*'``).
         """
-        if isinstance(opts, int):
-            dirs = _epoch_dirs(self.ckpt_dir)
-            epochs = [int(d[5:]) for d in dirs[-opts:]]
-        else:
-            epochs = list(opts)
+        epochs = self._resolve_ensemble_epochs(opts)
         assert epochs, "no checkpoints to ensemble"
         acc = None
         for e in epochs:

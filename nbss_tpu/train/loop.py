@@ -41,11 +41,12 @@ class Trainer:
         detect_unused_parameters: bool = False,
         val_host_metrics: Optional[Sequence[str]] = None,
         val_host_metrics_every: int = 5,
-        val_host_metrics_batches: int = 8,
+        val_host_metrics_batches: Optional[int] = None,
     ):
         """val_host_metrics: e.g. ('NB_PESQ', 'STOI') — heavy host-side
-        metrics computed on a few validation batches every N epochs (the
-        reference's every-5-epoch mp.Pool PESQ, general_steps.py:20-48)."""
+        metrics computed every N epochs over the FULL validation set (the
+        reference's every-5-epoch mp.Pool PESQ, general_steps.py:20-48);
+        val_host_metrics_batches caps the batch count when set (None = all)."""
         """early_stopping: {'monitor': 'val/metric', 'patience': 10,
         'mode': 'max', 'min_delta': 0.1} — reference TrainCLI defaults
         (SharedTrainer.py:348-356), disabled when None."""
@@ -221,7 +222,8 @@ class Trainer:
         sums: Dict[str, float] = {}
         counts: Dict[str, int] = {}
         for bi, batch in enumerate(it):
-            if bi >= self.val_host_metrics_batches:
+            if (self.val_host_metrics_batches is not None
+                    and bi >= self.val_host_metrics_batches):
                 break
             x, ys, paras = batch[0], batch[1], batch[2] if len(batch) > 2 else [{}]
             fs = paras[0].get("sample_rate", 8000) if paras else 8000
@@ -231,7 +233,7 @@ class Trainer:
                 m, _, _ = cal_metrics(self.val_host_metrics, yhat[b], yr[b],
                                       yr[b], fs, device_only="host")
                 for k, v in m.items():
-                    if v is not None:
+                    if isinstance(v, (int, float)):
                         sums[k] = sums.get(k, 0.0) + v
                         counts[k] = counts.get(k, 0) + 1
         return {f"val/{k}": sums[k] / counts[k] for k in sums}
@@ -277,7 +279,11 @@ class Trainer:
             sb = shard_batch(self.mesh, (x, ys))
             with self.mesh:
                 logs = self._val_step(self.params, sb)
+            # weight per-batch means by batch size so a ragged final batch
+            # doesn't skew val/metric (the reference logs per-sample with
+            # sync_dist reductions, SharedTrainer.py:174-182)
+            bs = int(x.shape[0])
             for k, v in logs.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
+                sums[k] = sums.get(k, 0.0) + float(v) * bs
+            n += bs
         return {k: v / max(n, 1) for k, v in sums.items()}

@@ -93,6 +93,78 @@ def test_reverb_trainval(tmp_path, rir_root, rng):
     assert y.shape[0] == 2 and np.isfinite(y).all()
 
 
+def test_reverb_real_rir_and_room_match(tmp_path, rir_root, rng):
+    """Released measured-RIR branch + room-size-vs-T60 noise selection
+    (reference reverb.py:102-149)."""
+    from nbss_tpu.data.reverb import ReverbTrainValDataset
+
+    wsjcam0 = tmp_path / "wsjcam0" / "data" / "primary_microphone" / "si_tr"
+    wsjcam0.mkdir(parents=True)
+    write_audio(str(wsjcam0 / "c00.wav"),
+                (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32), 16000)
+    tools = tmp_path / "Reverb" / "reverb_tools_for_Generate_mcTrainData"
+    (tools / "NOISE").mkdir(parents=True)
+    for room in ("SmallRoom1", "MediumRoom1", "LargeRoom1"):
+        write_audio(str(tools / "NOISE" / f"Noise_{room}_1.wav"),
+                    (rng.standard_normal((16000 * 3, 7)) * 0.05).astype(np.float32),
+                    16000)
+    (tools / "RIR").mkdir()
+    rir = np.zeros((3200, 7), np.float32)
+    rir[100 + np.arange(7) % 3, np.arange(7)] = 1.0
+    rir[500:800:50, :] = 0.2
+    write_audio(str(tools / "RIR" / "RIR_SmallRoom1_near_AnglA.wav"), rir, 16000)
+
+    ds = ReverbTrainValDataset(
+        wsjcam0_dir=str(tmp_path / "wsjcam0"), reverb_dir=str(tmp_path / "Reverb"),
+        dataset="train_with_simulated_rir", rir_dir=rir_root, audio_time_len=1.0,
+        use_real_rir_prop=1.0, noise_room_match=True)
+    noisy, dp, paras = ds[(0, 5)]
+    assert noisy.shape == (7, 16000) and np.isfinite(noisy).all()
+    assert dp.shape == (1, 7, 16000) and np.abs(dp).max() > 0
+    # noise grouping exists: 3 room groups + combined
+    assert len(ds.noise_groups) == 4
+    assert all(len(g) == 1 for g in ds.noise_groups[:3])
+
+    # simulated-RIR branch with room-matched noise (T60 ~0.15 -> SmallRoom)
+    ds2 = ReverbTrainValDataset(
+        wsjcam0_dir=str(tmp_path / "wsjcam0"), reverb_dir=str(tmp_path / "Reverb"),
+        dataset="train_with_simulated_rir", rir_dir=rir_root, audio_time_len=1.0,
+        use_real_rir_prop=0.0, noise_room_match=True)
+    noisy, dp, paras = ds2[(0, 7)]
+    assert np.isfinite(noisy).all()
+
+
+def test_reverb_simdtetmc(tmp_path, rng):
+    """Synthesized SimDt/SimEt multichannel sets (reference reverb.py:365-527)."""
+    from nbss_tpu.data.reverb import ReverbSimDtEtMCDataset
+
+    wsjcam0 = tmp_path / "wsjcam0" / "data" / "primary_microphone" / "si_dt" / "c02"
+    wsjcam0.mkdir(parents=True)
+    for u in range(2):
+        write_audio(str(wsjcam0 / f"c02{u}.wav"),
+                    (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32), 16000)
+    tools = tmp_path / "Reverb" / "reverb_tools_for_Generate_SimData"
+    (tools / "NOISE").mkdir(parents=True)
+    write_audio(str(tools / "NOISE" / "Noise_SimRoom1_1.wav"),
+                (rng.standard_normal((16000 * 3, 8)) * 0.05).astype(np.float32), 16000)
+    (tools / "RIR").mkdir()
+    rir = np.zeros((3200, 8), np.float32)
+    rir[100, :] = 1.0
+    write_audio(str(tools / "RIR" / "RIR_SimRoom1_near_AnglA.wav"), rir, 16000)
+    write_audio(str(tools / "RIR" / "RIR_SimRoom1_far_AnglA.wav"), rir, 16000)
+
+    ds = ReverbSimDtEtMCDataset(
+        wsjcam0_dir=str(tmp_path / "wsjcam0"), reverb_dir=str(tmp_path / "Reverb"),
+        dataset="SimDtMC")
+    assert len(ds) == 4  # 2 sources x (far + near)
+    noisy, dp, paras = ds[(1, 9)]
+    assert noisy.shape[0] == 8 and dp.shape[:2] == (1, 8)
+    assert np.isfinite(noisy).all() and np.abs(dp).max() > 0
+    # multichannel reference distinguishes it from ReverbEtDataset
+    noisy2, _, _ = ds[(1, 9)]
+    np.testing.assert_array_equal(noisy, noisy2)
+
+
 def test_reverb_et(tmp_path, rng):
     from nbss_tpu.data.reverb import ReverbEtDataset
 

@@ -145,6 +145,9 @@ def test_selective_scan_custom_bwd_matches_autodiff(rng):
     ("mamba(8,4)", False),
     ("ret(2,share_qk)", False),
     ("ret(2,not_share_qk)", True),
+    ("mhsa(6)", False),
+    ("mhsa(6)", "ALiBi"),
+    ("mhsa(64)", False),  # scope > T: full causal attention
 ])
 def test_streaming_step_matches_offline(rng, attention, rope):
     """Frame-by-frame streaming_step == offline causal forward."""

@@ -113,6 +113,15 @@ def test_checkpoint_restore_and_ensemble(ds, cpu_devices, tmp_path):
     for a, b in zip(jax.tree.leaves(avg), jax.tree.leaves(t2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
+    # glob / explicit-path ensemble modes (reference ensemble.py:6-52)
+    assert t2.ckpt._resolve_ensemble_epochs("epoch*") == [0, 1]
+    assert t2.ckpt._resolve_ensemble_epochs(
+        [str(tmp_path / "ck" / "epoch1")]) == [1]
+    e = t2.ckpt.ensemble("epoch*", template={"params": params_before})
+    assert e["epochs"] == [0, 1]
+    for a, b in zip(jax.tree.leaves(avg), jax.tree.leaves(e["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
 
 def test_sampler_determinism():
     s1 = list(DistributedSampler(10, seed=7, shuffle=True, last_epoch=3))
