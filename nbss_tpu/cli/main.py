@@ -82,9 +82,15 @@ def _mesh_for(cfg: Dict):
 
 
 def build_trainer(cfg: Dict, module: TrainModule, log_dir: str) -> Trainer:
+    import jax
+
     m = cfg.get("model", {})
     t = cfg.get("trainer", {})
-    logger = TensorBoardLogger(log_dir)
+    # rank-0-only event writing (the reference's Lightning loggers are
+    # rank-zero too); metric values are identical on every host by
+    # construction (fully-replicated reductions)
+    logger = (TensorBoardLogger(log_dir) if jax.process_index() == 0
+              else (lambda k, v, step: None))
     optimizer = m.get("optimizer", ("Adam", {"lr": 1e-3}))
     lr_scheduler = m.get("lr_scheduler", ("ExponentialLR", {"gamma": 0.99}))
     es = cfg.get("early_stopping") or {}
@@ -94,6 +100,14 @@ def build_trainer(cfg: Dict, module: TrainModule, log_dir: str) -> Trainer:
                           "patience": es.get("patience", 10),
                           "mode": es.get("mode", "max"),
                           "min_delta": es.get("min_delta", 0.1)}
+    # heavy host metrics (PESQ/STOI/...) every N epochs over the val set:
+    # the host-side subset of model.metrics, like the reference's
+    # every-5-epoch mp.Pool pass (general_steps.py:20-48)
+    from nbss_tpu.eval.metrics import HOST_METRICS
+
+    vhm = m.get("val_host_metrics")
+    if vhm is None:
+        vhm = [x for x in m.get("metrics", []) if x in HOST_METRICS]
     return Trainer(
         module,
         mesh=_mesh_for(cfg),
@@ -104,6 +118,9 @@ def build_trainer(cfg: Dict, module: TrainModule, log_dir: str) -> Trainer:
         ckpt_dir=os.path.join(log_dir, "checkpoints"),
         logger=logger,
         early_stopping=early_stopping,
+        val_host_metrics=vhm or None,
+        val_host_metrics_every=m.get("val_host_metrics_every", 5),
+        val_host_metrics_batches=m.get("val_host_metrics_batches"),
     )
 
 
@@ -112,10 +129,37 @@ def _example_batch(data_module):
     return next(iter(loader))
 
 
+def _maybe_init_distributed(cfg: Dict) -> None:
+    """Multi-host wiring (the reference's Lightning DDP analogue).
+
+    Explicit env contract: NBSS_COORDINATOR=host:port, NBSS_NUM_PROCESSES,
+    NBSS_PROCESS_ID (one process per host; each host then loads only its
+    rank-strided data shard, sampler.py). Alternatively trainer.num_nodes>1
+    triggers jax.distributed.initialize() auto-detection (TPU pods)."""
+    import jax
+
+    if jax.process_count() > 1:  # already initialized by the launcher
+        return
+    coord = os.environ.get("NBSS_COORDINATOR")
+    if coord:
+        import jax.distributed
+
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["NBSS_NUM_PROCESSES"]),
+            process_id=int(os.environ["NBSS_PROCESS_ID"]),
+        )
+    elif int(cfg.get("trainer", {}).get("num_nodes") or 1) > 1:
+        import jax.distributed
+
+        jax.distributed.initialize()
+
+
 def run(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     sub, paths, overrides = parse_argv(argv if argv is not None else sys.argv[1:])
     cfg = load_configs(paths, overrides)
     assert sub in ("fit", "validate", "test", "predict"), sub
+    _maybe_init_distributed(cfg)
 
     data_module = instantiate(cfg["data"])
     module = build_module(cfg)
@@ -131,9 +175,12 @@ def run(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         epoch_tag = os.path.splitext(os.path.basename(ckpt_path))[0]
         test_set = (cfg.get("data", {}).get("init_args", {}) or {}).get("test_set", "test")
         log_dir = os.path.join(version_dir, f"{epoch_tag}_{test_set}_set")
+    import jax
+
     os.makedirs(log_dir, exist_ok=True)
-    save_config(cfg, os.path.join(log_dir, "config.yaml"))
-    log_provenance(log_dir)
+    if jax.process_index() == 0:
+        save_config(cfg, os.path.join(log_dir, "config.yaml"))
+        log_provenance(log_dir)
 
     trainer = build_trainer(cfg, module, log_dir)
     x0, _, _ = _example_batch(data_module)
@@ -141,7 +188,8 @@ def run(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
     from nbss_tpu.utils.logging import write_model_summary
 
-    write_model_summary(log_dir, module, trainer.params)
+    if jax.process_index() == 0:
+        write_model_summary(log_dir, module, trainer.params)
     if cfg.get("trainer", {}).get("write_flops"):
         from nbss_tpu.utils.flops import write_flops
 

@@ -48,13 +48,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a host batch pytree onto the mesh, sharded on dim 0.
 
-    Arrays whose leading dim does not divide the mesh (e.g. batch-1 full-
-    length eval utterances) are replicated instead."""
+    Single-process: a plain sharded device_put. Multi-process: each host
+    holds only ITS shard of the global batch (rank-strided per-host loaders,
+    sampler.py), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the analogue of DDP's
+    per-rank batches. Arrays whose leading dim does not divide the mesh
+    (e.g. batch-1 full-length eval utterances) are replicated instead
+    (multi-process replication requires identical data on every host, which
+    holds only for seed-fixed val/test stages)."""
     sharded = batch_sharding(mesh, axis)
     repl = replicated(mesh)
     n = mesh.shape[axis]  # size of the batch axis (mesh may be multi-axis)
+    multi = jax.process_count() > 1
 
     def put(x):
+        x = np.asarray(x) if multi else x
+        if multi:
+            if x.ndim > 0 and (x.shape[0] * jax.process_count()) % n == 0:
+                return jax.make_array_from_process_local_data(sharded, x)
+            return jax.make_array_from_process_local_data(repl, x)
         sh = sharded if (x.ndim > 0 and x.shape[0] % n == 0) else repl
         return jax.device_put(x, sh)
 
@@ -62,6 +74,17 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params / optimizer state) across the mesh."""
+    """Replicate a pytree (params / optimizer state) across the mesh.
+
+    Multi-process: every host computes the tree identically (same init seed /
+    same restored checkpoint), so each contributes its copy as the local data
+    of a fully-replicated global array."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x  # already a global array (e.g. restored checkpoint)
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+        return jax.tree.map(put, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
