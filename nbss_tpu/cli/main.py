@@ -225,7 +225,8 @@ def run(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             "metrics", ["SDR", "SI_SDR", "NB_PESQ", "WB_PESQ", "eSTOI"])
         results = run_test(trainer, module, data_module.test_dataloader(), log_dir,
                            metrics=metrics,
-                           write_examples=cfg.get("model", {}).get("write_examples", 200))
+                           write_examples=cfg.get("model", {}).get("write_examples", 200),
+                           mchunk=cfg.get("model", {}).get("mchunk"))
         return {"log_dir": log_dir, **results}
     # predict
     from nbss_tpu.eval.runner import run_predict

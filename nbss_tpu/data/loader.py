@@ -27,7 +27,10 @@ class DataModule:
     seeds: Tuple[Optional[int], ...] = (None, 2, 3, 3)
     num_replicas: Optional[int] = None  # default: jax process count
     rank: Optional[int] = None
-    num_workers: int = 0  # >0: threaded item fetch + batch prefetch
+    # threaded item fetch + batch prefetch by default so the accelerator
+    # step overlaps host IO/synthesis (the reference defaults to 10 worker
+    # processes; 0 disables for strictly-serial debugging)
+    num_workers: int = 2
 
     def _make_dataset(self, stage_idx: int):
         raise NotImplementedError

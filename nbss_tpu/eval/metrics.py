@@ -36,7 +36,15 @@ except ImportError:  # pragma: no cover
 
 
 def _one_metric(name: str, preds: np.ndarray, target: np.ndarray, fs: int) -> Optional[float]:
-    """Mean metric over sources; None if unavailable or failed."""
+    """Mean metric over sources; None if unavailable, failed, or non-finite
+    (e.g. STOI of a near-silent target segment)."""
+    v = _one_metric_raw(name, preds, target, fs)
+    if isinstance(v, float) and not np.isfinite(v):
+        return None
+    return v
+
+
+def _one_metric_raw(name: str, preds: np.ndarray, target: np.ndarray, fs: int) -> Optional[float]:
     try:
         if name == "SDR":
             return float(np.mean(np.asarray(M.sdr(jnp.asarray(preds), jnp.asarray(target)))))

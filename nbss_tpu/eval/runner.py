@@ -31,7 +31,8 @@ def _mean_of(results: List[Dict]) -> Dict:
     keys = {k for r in results for k, v in r.items() if isinstance(v, (int, float))}
     out = {}
     for k in sorted(keys):
-        vals = [r[k] for r in results if isinstance(r.get(k), (int, float))]
+        vals = [r[k] for r in results
+                if isinstance(r.get(k), (int, float)) and np.isfinite(r[k])]
         if vals:
             out[k] = float(np.mean(vals))
     return out

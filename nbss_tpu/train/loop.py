@@ -233,7 +233,10 @@ class Trainer:
                 m, _, _ = cal_metrics(self.val_host_metrics, yhat[b], yr[b],
                                       yr[b], fs, device_only="host")
                 for k, v in m.items():
-                    if isinstance(v, (int, float)):
+                    # skip failed/degenerate items (e.g. STOI of a
+                    # near-silent masked segment) like the reference's
+                    # exception->None degrade (metrics.py:142-149)
+                    if isinstance(v, (int, float)) and np.isfinite(v):
                         sums[k] = sums.get(k, 0.0) + v
                         counts[k] = counts.get(k, 0) + 1
         return {f"val/{k}": sums[k] / counts[k] for k in sums}
