@@ -169,3 +169,24 @@ def test_device_synthetic_datamodule(tmp_path):
     # test loader yields numpy
     t1 = next(iter(dm.test_dataloader()))
     assert isinstance(t1[0], np.ndarray)
+
+
+def test_mix_batch_babble_and_full(rng):
+    """babble (speech-tilted diffuse) noise branch + ovlp=full lengths."""
+    B, S, C, T = 1, 2, 4, 4000
+    rir, dp = _toy_rirs(B, S, C, 256, 128, rng)
+    from nbss_tpu.data.diffuse import spatial_coherence_mixing_matrices
+
+    pos = np.stack([np.zeros(C), np.arange(C) * 0.04, np.zeros(C)], -1)
+    _, Cs = spatial_coherence_mixing_matrices(pos, fs=8000, nfft=256)
+    x, ys = mix_batch(
+        jax.random.PRNGKey(2), jnp.asarray([5], jnp.int32),
+        jnp.asarray(rir), jnp.asarray(dp),
+        jnp.asarray(Cs.real, jnp.float32), jnp.asarray(Cs.imag, jnp.float32),
+        T=T, fs=8000, rir_len=256, dp_len=128, ovlp="full",
+        ratio_range=(0.1, 1.0), sir_range=None,
+        snr_range=(0.0, 20.0), noise_types=("babble", "white"))
+    assert np.isfinite(np.asarray(x)).all() and np.isfinite(np.asarray(ys)).all()
+    # full overlap: both target streams active over (almost) the whole clip
+    act = (np.abs(np.asarray(ys)[0, :, 0]) > 0).mean(axis=-1)
+    assert (act > 0.3).all(), act

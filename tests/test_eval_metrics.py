@@ -53,3 +53,35 @@ def test_cal_metrics_chunked(rng):
     m, _, _ = cal_metrics(["SI_SDR"], p, t, t, fs, device_only="device", chunk=(1.0, 1.0))
     chunk_keys = [k for k in m if "s-" in k]
     assert len(chunk_keys) == 2, m.keys()
+
+
+def test_dnsmos_melspec_shape_and_scale():
+    """librosa-recipe log-mel features for the p808 model: [T', 120] in the
+    (power_to_db(ref=max) + 40) / 40 scale -> values <= 1, >= -1."""
+    import numpy as np
+    from nbss_tpu.eval.dnsmos import _melspec
+
+    rng = np.random.default_rng(0)
+    seg = rng.standard_normal(int(9.01 * 16000) - 160).astype(np.float32)
+    feats = _melspec(seg)
+    assert feats.shape[1] == 120
+    # librosa center framing with odd n_fft=321: 1 + (T + 320 - 321) // 160
+    # = 900 for the 9.01 s - 160 sample p808 segment (the model's input size)
+    assert feats.shape[0] == 900
+    assert feats.max() <= 1.0 + 1e-6 and feats.min() >= -1.0 - 1e-6
+    assert np.isfinite(feats).all()
+
+
+def test_metric_dict_expansion():
+    """Multi-valued metrics (DNSMOS-style dicts) expand into per-sub keys."""
+    from unittest import mock
+
+    import numpy as np
+    from nbss_tpu.eval import metrics as M
+
+    fake = {"p808": 3.0, "sig": 2.0, "bak": 4.0, "ovr": None}
+    with mock.patch.object(M, "_one_metric", side_effect=[dict(fake), dict(fake)]):
+        out, inp, imp = M.cal_metrics(["DNSMOS"], np.zeros((1, 100)),
+                                      np.zeros((1, 100)), np.zeros((1, 100)), 8000)
+    assert out["DNSMOS_p808"] == 3.0 and inp["input_DNSMOS_sig"] == 2.0
+    assert imp["DNSMOS_bak_i"] == 0.0 and out["DNSMOS_ovr"] is None
