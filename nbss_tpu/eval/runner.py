@@ -42,7 +42,15 @@ def run_test(trainer, module, test_loader, log_dir: str,
              metrics: Sequence[str] = ("SDR", "SI_SDR"),
              write_examples: int = 200,
              mchunk=None,
-             host_metric_workers: int = 4) -> Dict:
+             host_metric_workers: int = 4,
+             length_bucket_s: float = 1.0) -> Dict:
+    """length_bucket_s: full-length test utterances are zero-padded up to the
+    next multiple of this many seconds before the jitted test step, so XLA
+    compiles once per bucket instead of once per unique length (the
+    reference's eager torch has no such constraint; test/predict use
+    audio_time_len=None, sms_wsj_plus.py:276). Metrics are computed on the
+    exact original lengths; the logged uPIT loss is over the padded signals
+    (zero tails on predictions and targets alike)."""
     os.makedirs(log_dir, exist_ok=True)
     examples_dir = os.path.join(log_dir, "examples")
     results: List[Dict] = []
@@ -55,11 +63,21 @@ def run_test(trainer, module, test_loader, log_dir: str,
     seen = set()
     item_idx = 0
     for batch_idx, (x, ys, paras) in enumerate(test_loader):
+        T0 = x.shape[-1]
+        if length_bucket_s:
+            fs_b = paras[0].get("sample_rate", 16000) if paras else 16000
+            quantum = max(int(length_bucket_s * fs_b), 1)
+            Tpad = -(-T0 // quantum) * quantum
+            if Tpad != T0:
+                x = np.pad(np.asarray(x), [(0, 0)] * (np.ndim(x) - 1)
+                           + [(0, Tpad - T0)])
+                ys = np.pad(np.asarray(ys), [(0, 0)] * (np.ndim(ys) - 1)
+                            + [(0, Tpad - T0)])
         out = test_step(trainer.params, (jnp.asarray(x), jnp.asarray(ys)))
         batch_loss = float(out["loss"])  # batch-mean (per-item not separable)
-        yr_hat_b = np.asarray(out["yr_hat"])
-        yr_b = np.asarray(out["yr"])
-        x_ref_b = np.asarray(out["x_ref"])
+        yr_hat_b = np.asarray(out["yr_hat"])[..., :T0]
+        yr_b = np.asarray(out["yr"])[..., :T0]
+        x_ref_b = np.asarray(out["x_ref"])[..., :T0]
         for b in range(yr_hat_b.shape[0]):
             para = paras[b] if b < len(paras) else {}
             wavname = os.path.basename(
@@ -143,7 +161,14 @@ def run_predict(trainer, module, predict_loader, log_dir: str) -> List[str]:
     predict = jax.jit(lambda p, x: module.predict_step(p, x))
     written = []
     for batch_idx, (x, ys, paras) in enumerate(predict_loader):
-        yhat = np.asarray(predict(trainer.params, jnp.asarray(x)))
+        # length-bucket padding to bound recompiles (see run_test)
+        T0 = x.shape[-1]
+        fs_b = paras[0].get("sample_rate", 16000) if paras else 16000
+        Tpad = -(-T0 // fs_b) * fs_b
+        if Tpad != T0:
+            x = np.pad(np.asarray(x), [(0, 0)] * (np.ndim(x) - 1)
+                       + [(0, Tpad - T0)])
+        yhat = np.asarray(predict(trainer.params, jnp.asarray(x)))[..., :T0]
         for b, para in enumerate(paras):
             fs = para.get("sample_rate", 16000)
             saveto = para.get("saveto") or [f"{para.get('index', batch_idx)}_{s}.wav"
