@@ -121,6 +121,7 @@ def build_trainer(cfg: Dict, module: TrainModule, log_dir: str) -> Trainer:
         val_host_metrics=vhm or None,
         val_host_metrics_every=m.get("val_host_metrics_every", 5),
         val_host_metrics_batches=m.get("val_host_metrics_batches"),
+        profile_dir=t.get("profile_dir"),
     )
 
 

@@ -42,6 +42,8 @@ class Trainer:
         val_host_metrics: Optional[Sequence[str]] = None,
         val_host_metrics_every: int = 5,
         val_host_metrics_batches: Optional[int] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: Tuple[int, int] = (10, 15),
     ):
         """val_host_metrics: e.g. ('NB_PESQ', 'STOI') — heavy host-side
         metrics computed every N epochs over the FULL validation set (the
@@ -71,6 +73,11 @@ class Trainer:
         self.val_host_metrics = tuple(val_host_metrics) if val_host_metrics else None
         self.val_host_metrics_every = val_host_metrics_every
         self.val_host_metrics_batches = val_host_metrics_batches
+        # optional XLA profiler capture of steps [a, b) in the first epoch
+        # (the reference has no profiler integration, SURVEY.md §5 —
+        # FLOPs.yaml is its whole profiling story)
+        self.profile_dir = profile_dir
+        self.profile_steps = tuple(profile_steps)
         self.epoch = 0
         self._train_step = None
         self._val_step = None
@@ -157,6 +164,8 @@ class Trainer:
             for step, batch in enumerate(it):
                 if steps_per_epoch is not None and step >= steps_per_epoch:
                     break
+                if self.profile_dir and epoch == self.epoch:
+                    self._profile_hook(step)
                 x, ys = jnp.asarray(batch[0]), jnp.asarray(batch[1])
                 sb = shard_batch(self.mesh, (x, ys))
                 rng, sub = jax.random.split(rng)
@@ -207,6 +216,25 @@ class Trainer:
                 if self._should_stop(val_metric):
                     break
         return history
+
+    def _profile_hook(self, step: int) -> None:
+        """Capture an XLA profiler trace of profile_steps in the first
+        trained epoch; view with tensorboard/xprof. Failures (e.g. an
+        unsupported remote backend) only warn."""
+        a, b = self.profile_steps
+        try:
+            if step == a:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
+            elif step == b and getattr(self, "_profiling", False):
+                jax.profiler.stop_trace()
+                self._profiling = False
+                print(f"profiler trace written to {self.profile_dir}", flush=True)
+        except Exception as e:  # pragma: no cover - backend dependent
+            import warnings
+
+            warnings.warn(f"profiler capture failed: {e}")
+            self._profiling = False
 
     def _host_metrics(self, val_data) -> Dict[str, float]:
         """Heavy host metrics (PESQ/STOI/...) on a few validation batches."""

@@ -244,3 +244,22 @@ def test_training_step_all_losses(ds, cpu_devices, loss_name):
     yhat, _ = module.forward(params, jnp.asarray(x))
     assert yhat.shape == (4, 2, x.shape[-1])
     assert np.isfinite(np.asarray(yhat)).all()
+
+
+def test_profiler_capture(ds, cpu_devices, tmp_path):
+    """trainer.profile_dir captures an XLA trace of the configured steps."""
+    import os
+
+    module = tiny_module()
+    trainer = Trainer(module, mesh=make_mesh(8),
+                      profile_dir=str(tmp_path / "prof"), profile_steps=(1, 3))
+
+    def loader():
+        sampler = DistributedSampler(len(ds), seed=1, shuffle=True)
+        return iter(BatchLoader(ds, batch_size=8, sampler=sampler))
+
+    x0, _, _ = ds[(0, 0)]
+    trainer.init(np.stack([x0]))
+    trainer.fit(loader, max_epochs=1, steps_per_epoch=4)
+    found = [f for _, _, fs in os.walk(tmp_path / "prof") for f in fs]
+    assert found, "no profiler trace files written"
