@@ -23,3 +23,30 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Persist compiled executables across processes (~/.cache/jax_nbss by
+    default, override with JAX_COMPILATION_CACHE_DIR or disable with
+    NBSS_NO_COMPILE_CACHE=1). The Pallas scan/attention kernels take minutes
+    of Mosaic compile time per shape; without this every CLI / bench / test
+    process pays it again."""
+    import os
+
+    if os.environ.get("NBSS_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "jax_nbss"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -73,10 +73,13 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, nh, dh, dv, scale, t_valid)
             s = s + mask_ref[h if mask_ref.shape[0] > 1 else 0]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-        o_ref[:, :, slv] = jax.lax.dot_general(
-            p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        # fold the softmax normalization into the [T, dv]-sized output
+        # instead of dividing the [T, T] score matrix (VPU divide savings)
+        rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[:, :, slv] = (o * rinv).astype(o_ref.dtype)
 
 
 def _kernel_nomask(q_ref, k_ref, v_ref, o_ref, **kw):
@@ -164,16 +167,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref,
         if mask_ref is not None:
             s = s + mask_ref[h if mask_ref.shape[0] > 1 else 0]
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [mb, Tq, Tk]
+        e = jnp.exp(s - m)  # fp32 [mb, Tq, Tk]; P = e * rinv
+        rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        # fold 1/rowsum into the [T, dv]-sized cotangent rows once instead
+        # of normalizing the [T, T] matrix: with g' = g*rinv,
+        #   dV = E^T g' ;  dP' = g' V^T = dP*rinv ;
+        #   dS = P o (dP - delta) = E o (dP' - rowsum(dP' o E) * rinv)
+        gp = (g.astype(jnp.float32) * rinv).astype(g.dtype)
         dv_ref[:, :, slv] = jax.lax.dot_general(
-            p.astype(g.dtype), g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            e.astype(g.dtype), gp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dv_ref.dtype)
         dp = jax.lax.dot_general(
-            g, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [mb, Tq, Tk]
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
+            gp, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [mb, Tq, Tk] (= dP*rinv)
+        delta = jnp.sum(dp * e, axis=-1, keepdims=True) * rinv
+        ds = (e * (dp - delta) * scale).astype(q.dtype)
         dq_ref[:, :, sl] = jax.lax.dot_general(
             ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dq_ref.dtype)

@@ -167,3 +167,34 @@ def test_streaming_step_matches_offline(rng, attention, rope):
         outs.append(np.asarray(y_t))
     y_str = np.stack(outs, axis=2)
     np.testing.assert_allclose(y_str, y_off, atol=2e-3, rtol=2e-2)
+
+
+def test_pallas_scan_bwd_matches_autodiff(rng):
+    """The Pallas reverse-scan kernel (chunk-boundary recompute) must match
+    autodiff through the XLA reference, including ragged T padding."""
+    import jax
+    import jax.numpy as jnp
+    from nbss_tpu.ops.ssm import (_pallas_scan_bwd, _selective_scan_xla,
+                                  selective_scan_pallas)
+
+    B, T, D, N = 3, 13, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+
+    y, hb = selective_scan_pallas(x, dt, A, Bm, Cm, Dp, t_chunk=4,
+                                  return_boundaries=True)
+    gx, gdt, gA, gB, gC = _pallas_scan_bwd(x, dt, A, Bm, Cm, hb, gy, t_chunk=4)
+    gx = gx + gy * Dp
+    gD = jnp.einsum("btd,btd->d", gy, x)
+
+    _, vjp = jax.vjp(_selective_scan_xla, x, dt, A, Bm, Cm, Dp)
+    rx, rdt, rA, rB, rC, rD = vjp(gy)
+    for name, a, b in zip("x dt A B C D".split(),
+                          (gx, gdt, gA, gB, gC, gD), (rx, rdt, rA, rB, rC, rD)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3, err_msg=name)
