@@ -27,6 +27,7 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    remat = "remat" in sys.argv[3:]  # per-layer jax.checkpoint (big-B HBM fit)
     fs, secs, C, spk = 8000, 4.0, 6, 2
     T = int(fs * secs)
 
@@ -34,7 +35,7 @@ def main():
         dim_input=2 * C, dim_output=2 * spk, num_layers=8, dim_hidden=96,
         dim_ffn=192, num_heads=4, kernel_size=(5, 3), conv_groups=(8, 8),
         norms=("LN", "LN", "GN", "LN", "LN", "LN"), dim_squeeze=8,
-        num_freqs=129, full_share=0, dtype=jnp.bfloat16,
+        num_freqs=129, full_share=0, dtype=jnp.bfloat16, remat=remat,
     )
     module = TrainModule(
         arch=arch, channels=tuple(range(C)), ref_channel=0,

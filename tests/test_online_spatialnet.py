@@ -198,3 +198,70 @@ def test_pallas_scan_bwd_matches_autodiff(rng):
                           (gx, gdt, gA, gB, gC, gD), (rx, rdt, rA, rB, rC, rD)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    rtol=1e-3, err_msg=name)
+
+
+def test_flat_scan_matches_xla(rng):
+    """Flat-lane-layout forward (d-major [Bm, D*N] state, MXU segment-sum)
+    must match the XLA reference, and its converted boundary states must
+    drive _pallas_scan_bwd to the same gradients."""
+    import jax
+    import jax.numpy as jnp
+    from nbss_tpu.ops.ssm import (_pallas_scan_bwd, _selective_scan_xla,
+                                  selective_scan_pallas_flat)
+
+    B, T, D, N = 3, 13, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+
+    y_ref = _selective_scan_xla(x, dt, A, Bm, Cm, Dp)
+    y = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-3,
+                               rtol=2e-2)
+
+    y2, hb = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4,
+                                        return_boundaries=True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
+    gx, gdt, gA, gB, gC = _pallas_scan_bwd(x, dt, A, Bm, Cm, hb, gy, t_chunk=4)
+    gx = gx + gy * Dp
+    _, vjp = jax.vjp(_selective_scan_xla, x, dt, A, Bm, Cm, Dp)
+    rx, rdt, rA, rB, rC, _ = vjp(gy)
+    for name, a, b in zip("x dt A B C".split(), (gx, gdt, gA, gB, gC),
+                          (rx, rdt, rA, rB, rC)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=1e-2, err_msg=name)
+
+
+def test_flat_scan_bwd_matches_autodiff(rng):
+    """Flat-lane backward (MXU segment-sums, bf16 reductions) matches
+    autodiff within bf16-reduction tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from nbss_tpu.ops.ssm import (_pallas_scan_bwd_flat, _selective_scan_xla,
+                                  selective_scan_pallas_flat)
+
+    B, T, D, N = 3, 13, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+
+    _, hb = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4,
+                                       return_boundaries=True,
+                                       convert_boundaries=False)
+    gx, gdt, gA, gB, gC = _pallas_scan_bwd_flat(x, dt, A, Bm, Cm, hb, gy,
+                                                t_chunk=4)
+    gx = gx + gy * Dp
+    _, vjp = jax.vjp(_selective_scan_xla, x, dt, A, Bm, Cm, Dp)
+    rx, rdt, rA, rB, rC, _ = vjp(gy)
+    for name, a, b in zip("x dt A B C".split(), (gx, gdt, gA, gB, gC),
+                          (rx, rdt, rA, rB, rC)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=5e-2, err_msg=name)
