@@ -178,6 +178,7 @@ def selective_scan_pallas_flat(
     t_chunk: int = 8,
     return_boundaries: bool = False,
     convert_boundaries: bool = True,
+    cap: int = 264,
 ):
     """Flat-lane-layout Pallas selective scan (see _pallas_scan_kernel_flat).
 
@@ -190,7 +191,7 @@ def selective_scan_pallas_flat(
     ND = D_ * N_
     Bp0 = -(-B_ // 8) * 8
     # three [Tc, Bm, D*N] fp32 scratch buffers cap the tile size
-    bm, n_mt, Bp = _m_tiling(Bp0, cap=264)
+    bm, n_mt, Bp = _m_tiling(Bp0, cap=cap)
     Tp = -(-T_ // t_chunk) * t_chunk
     n_chunks = Tp // t_chunk
 

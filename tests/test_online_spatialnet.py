@@ -265,3 +265,23 @@ def test_flat_scan_bwd_matches_autodiff(rng):
                           (rx, rdt, rA, rB, rC)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
                                    rtol=5e-2, err_msg=name)
+
+
+def test_flat_scan_m_tiled(rng):
+    """Flat forward with a forced multi-M-tile 2-D grid matches the XLA
+    reference (state reset per tile, boundary blocks per tile)."""
+    import jax.numpy as jnp
+    from nbss_tpu.ops.ssm import _selective_scan_xla, selective_scan_pallas_flat
+
+    B, T, D, N = 20, 9, 8, 4  # Bp=24 -> 3 tiles of 8 with cap=8
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
+    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
+
+    y_ref = _selective_scan_xla(x, dt, A, Bm, Cm, Dp)
+    y = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4, cap=8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-3,
+                               rtol=2e-2)
