@@ -107,22 +107,28 @@ def _m_tiling(Bp: int, cap: int = 256):
     return bm, n_tiles, bm * n_tiles
 
 
-def _pallas_scan_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, s_ref,
-                             y_ref, hb_ref, h_ref, da_ref, dbx_ref, cc_ref,
-                             *, tc, n, tdim):
-    """Flat-lane variant: state [Bm, D*N] with lane j = d*N + n (d-major).
+def _pallas_scan_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, eb_ref,
+                             s_ref, y_ref, hb_ref, h_ref, da_ref, dbx_ref,
+                             cc_ref, *, tc, n, tdim):
+    """Flat-lane variant: state [Bm, N*D] with lane j = n*D + d (n-major).
 
     Rationale (vs ``_pallas_scan_kernel``'s [Bm, N, D] layout): the 3-D
     layout broadcasts b_t/c_t [Bm, N] across the D lane dim every step —
     a lane->sublane relayout per step that dominates the serial loop. Here
-    every per-chunk tensor is flattened to [Tc, Bm, D*N] (still 3-D, so
+    every per-chunk tensor is flattened to [Tc, Bm, N*D] (still 3-D, so
     dynamic t-indexing stays a cheap address offset), the exp/discretize/
     input products are precomputed VECTORIZED over the whole chunk into
     VMEM scratch, and the serial loop is 3 elementwise vector ops plus one
-    MXU matmul: y_t = (h ∘ cc_t) @ S, where S [D*N, D] is the 0/1
+    MXU matmul: y_t = (h ∘ cc_t) @ S, where S [N*D, D] is the 0/1
     segment-sum matrix that reduces over n and compacts the lanes.
 
-    D*N must be a lane-tile multiple (D=192, N=16 -> 3072 = 24x128, no
+    n-major expansion avoids unsupported Mosaic ops: dt [.., D] -> [.., N*D]
+    is ``jnp.tile`` (a lane concatenation), and b/c [.., N] -> [.., N*D] is
+    an exact contraction-16 matmul with the 0/1 expansion matrix Eb (fp32
+    MXU passes 0/1 products through exactly). jnp.repeat (element-wise
+    lane repeat, d-major) is NOT lowerable ("unsupported shape cast").
+
+    N*D must be a lane-tile multiple (N=16, D=192 -> 3072 = 24x128, no
     padding waste; the [Bm, N, D] layout pads 192->256 lanes = 25% waste).
     """
     @pl.when(pl.program_id(tdim) == 0)
@@ -132,21 +138,24 @@ def _pallas_scan_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, s_ref,
     if hb_ref is not None:
         hb_ref[0] = h_ref[...]
 
-    af = af_ref[...]  # [1, D*N] fp32 (negative), d-major
+    af = af_ref[...]  # [1, N*D] fp32 (negative), n-major
     dt_all = dt_ref[...].astype(jnp.float32)    # [Tc, Bm, D]
     x_all = x_ref[...].astype(jnp.float32)
     b_all = b_ref[...].astype(jnp.float32)      # [Tc, Bm, N]
     c_all = c_ref[...].astype(jnp.float32)
-    # element-wise repeat along lanes: value at lane d*N+n is dt[..., d]
-    dtf = jnp.repeat(dt_all, n, axis=2)         # [Tc, Bm, D*N]
-    dtxf = jnp.repeat(dt_all * x_all, n, axis=2)
-    # block tile along lanes: value at lane d*N+n is b[..., n]
-    bb = jnp.tile(b_all, (1, 1, dtf.shape[2] // n))
-    cc_ref[...] = jnp.tile(c_all, (1, 1, dtf.shape[2] // n))
+    eb = eb_ref[...]  # [N, N*D] 0/1 fp32 expansion
+    expand = lambda v: jax.lax.dot_general(
+        v, eb, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # lane block-tile: value at lane n*D+d is dt[..., d]
+    dtf = jnp.tile(dt_all, (1, 1, n))           # [Tc, Bm, N*D]
+    dtxf = jnp.tile(dt_all * x_all, (1, 1, n))
+    bb = expand(b_all)                          # value at n*D+d is b[..., n]
+    cc_ref[...] = expand(c_all)
     da_ref[...] = jnp.exp(dtf * af[None])
     dbx_ref[...] = dtxf * bb
 
-    s = s_ref[...]  # [D*N, D] 0/1 bf16
+    s = s_ref[...]  # [N*D, D] 0/1 bf16
 
     def body(t, _):
         h = da_ref[t] * h_ref[...] + dbx_ref[t]
@@ -161,11 +170,11 @@ def _pallas_scan_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, s_ref,
 
 
 def _pallas_scan_kernel_flat_noboundary(x_ref, dt_ref, af_ref, b_ref, c_ref,
-                                        s_ref, y_ref, h_ref, da_ref, dbx_ref,
-                                        cc_ref, *, tc, n, tdim):
-    _pallas_scan_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, s_ref,
-                             y_ref, None, h_ref, da_ref, dbx_ref, cc_ref,
-                             tc=tc, n=n, tdim=tdim)
+                                        eb_ref, s_ref, y_ref, h_ref, da_ref,
+                                        dbx_ref, cc_ref, *, tc, n, tdim):
+    _pallas_scan_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, eb_ref,
+                             s_ref, y_ref, None, h_ref, da_ref, dbx_ref,
+                             cc_ref, tc=tc, n=n, tdim=tdim)
 
 
 def selective_scan_pallas_flat(
@@ -200,11 +209,13 @@ def selective_scan_pallas_flat(
         return jnp.pad(v, ((0, Tp - T_), (0, Bp - B_), (0, 0)))
 
     xp, dtp, bp, cp = (tmajor(v) for v in (x, dt, Bm, Cm))
-    # d-major flat A: lane j = d*N + n
-    af = A.astype(jnp.float32).reshape(1, ND)
-    # segment-sum matrix: S[d*N + n, d] = 1
-    s_mat = (jnp.eye(D_, dtype=jnp.bfloat16)[:, None, :]
-             * jnp.ones((1, N_, 1), jnp.bfloat16)).reshape(ND, D_)
+    # n-major flat A: lane j = n*D + d
+    af = jnp.transpose(A.astype(jnp.float32), (1, 0)).reshape(1, ND)
+    # segment-sum matrix S[n*D + d, d] = 1 and its transpose-expansion
+    # Eb[n, n*D + d] = 1
+    s_mat = jnp.tile(jnp.eye(D_, dtype=jnp.bfloat16), (N_, 1))
+    eb_mat = (jnp.eye(N_, dtype=jnp.float32)[:, :, None]
+              * jnp.ones((1, 1, D_), jnp.float32)).reshape(N_, ND)
 
     if n_mt == 1:
         grid = (n_chunks,)
@@ -235,6 +246,7 @@ def selective_scan_pallas_flat(
             seq_spec(D_), seq_spec(D_),
             pl.BlockSpec((1, ND), c_ix, memory_space=pltpu.VMEM),
             seq_spec(N_), seq_spec(N_),
+            pl.BlockSpec((N_, ND), c_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec((ND, D_), c_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs if return_boundaries else out_specs[0],
@@ -247,15 +259,15 @@ def selective_scan_pallas_flat(
             dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=123 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(xp, dtp, af, bp, cp, s_mat)
+    )(xp, dtp, af, bp, cp, eb_mat, s_mat)
     out, hb = outs if return_boundaries else (outs, None)
     y = jnp.moveaxis(out[:T_, :B_], 0, 1)  # [B, T, D]
     y = (y.astype(jnp.float32) + x.astype(jnp.float32) * D.astype(jnp.float32)
          ).astype(x.dtype)
     if return_boundaries:
         if convert_boundaries:
-            # flat d-major [.., D*N] -> [.., N, D] for _pallas_scan_bwd
-            hb = jnp.transpose(hb.reshape(n_chunks, Bp, D_, N_), (0, 1, 3, 2))
+            # flat n-major [.., N*D] reshapes directly to the bwd's [.., N, D]
+            hb = hb.reshape(n_chunks, Bp, N_, D_)
         return y, hb
     return y
 
@@ -347,15 +359,15 @@ def _pallas_scan_kernel_noboundary(x_ref, dt_ref, a_ref, b_ref, c_ref, y_ref,
 
 
 def _pallas_scan_bwd_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, gy_ref,
-                                 hb_ref, sd_ref, sn_ref,
+                                 hb_ref, eb_ref, sd_ref, sn_ref,
                                  gx_ref, gdt_ref, gb_ref, gc_ref, ga_ref,
                                  lam_ref, ga_acc_ref, da_ref, dbx_ref, cc_ref,
                                  *, tc, n, n_chunks, tdim):
     """Flat-lane reverse adjoint (see _pallas_scan_kernel_flat for layout).
 
-    All state-sized tensors are [*, Bm, D*N] (lane j = d*N + n); the
-    n-segment reductions (g_dt, lamB) ride the MXU via sd [D*N, D], and
-    the d-segment reductions (g_B, g_C) via sn [D*N, N]; the gA reduction
+    All state-sized tensors are [*, Bm, N*D] (lane j = n*D + d); the
+    n-segment reductions (g_dt, lamB) ride the MXU via sd [N*D, D], and
+    the d-segment reductions (g_B, g_C) via sn [N*D, N]; the gA reduction
     over the batch is a sublane sum. Per-chunk exp/products are vectorized
     into VMEM scratch; the unrolled loops are elementwise + matmuls only.
     """
@@ -367,19 +379,22 @@ def _pallas_scan_bwd_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, gy_ref,
         lam_ref[...] = jnp.zeros_like(lam_ref)
         ga_acc_ref[...] = jnp.zeros_like(ga_acc_ref)
 
-    af = af_ref[...]  # [1, D*N] fp32 (negative)
-    nd = af.shape[1]
+    af = af_ref[...]  # [1, N*D] fp32 (negative), n-major
     dt_all = dt_ref[...].astype(jnp.float32)   # [Tc, Bm, D]
     x_all = x_ref[...].astype(jnp.float32)
-    b_all = b_ref[...].astype(jnp.float32)     # [Tc, Bm, N]
-    dtf = jnp.repeat(dt_all, n, axis=2)        # [Tc, Bm, D*N]
-    dtxf = jnp.repeat(dt_all * x_all, n, axis=2)
-    bb = jnp.tile(b_all, (1, 1, nd // n))
-    cc_ref[...] = jnp.tile(c_ref[...].astype(jnp.float32), (1, 1, nd // n))
+    eb = eb_ref[...]  # [N, N*D] 0/1 fp32 expansion
+    expand = lambda v: jax.lax.dot_general(
+        v.astype(jnp.float32), eb,
+        dimension_numbers=(((v.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dtf = jnp.tile(dt_all, (1, 1, n))          # [Tc, Bm, N*D]
+    dtxf = jnp.tile(dt_all * x_all, (1, 1, n))
+    bb = expand(b_ref[...])
+    cc_ref[...] = expand(c_ref[...])
     da_ref[...] = jnp.exp(dtf * af[None])
     dbx_ref[...] = dtxf * bb
-    sd = sd_ref[...]  # [D*N, D] bf16 0/1
-    sn = sn_ref[...]  # [D*N, N] bf16 0/1
+    sd = sd_ref[...]  # [N*D, D] bf16 0/1
+    sn = sn_ref[...]  # [N*D, N] bf16 0/1
 
     def seg(v, s_mat):
         return jax.lax.dot_general(
@@ -396,7 +411,7 @@ def _pallas_scan_bwd_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, gy_ref,
     ga = ga_acc_ref[...]
     for t in range(tc - 1, -1, -1):
         gy_t = gy_ref[t].astype(jnp.float32)   # [Bm, D]
-        gyf = jnp.repeat(gy_t, n, axis=1)      # [Bm, D*N]
+        gyf = jnp.tile(gy_t, (1, n))           # [Bm, N*D]
         lam = lam + gyf * cc_ref[t]
         dA = da_ref[t]
         gdAdA = lam * hs[t] * dA               # lam * h_{t-1} * dA
@@ -584,11 +599,13 @@ def _pallas_scan_bwd_flat(x, dt, A, Bm, Cm, hb_flat, gy, t_chunk: int = 8):
         return jnp.pad(v, ((0, Tp - T_), (0, Bp - B_), (0, 0)))
 
     xp, dtp, bp, cp, gyp = (tmajor(v) for v in (x, dt, Bm, Cm, gy))
-    af = A.astype(jnp.float32).reshape(1, ND)  # d-major flat
-    sd = (jnp.eye(D_, dtype=jnp.bfloat16)[:, None, :]
-          * jnp.ones((1, N_, 1), jnp.bfloat16)).reshape(ND, D_)
-    sn = (jnp.ones((D_, 1, 1), jnp.bfloat16)
-          * jnp.eye(N_, dtype=jnp.bfloat16)[None]).reshape(ND, N_)
+    # n-major flat (lane j = n*D + d)
+    af = jnp.transpose(A.astype(jnp.float32), (1, 0)).reshape(1, ND)
+    sd = jnp.tile(jnp.eye(D_, dtype=jnp.bfloat16), (N_, 1))
+    sn = (jnp.eye(N_, dtype=jnp.bfloat16)[:, :, None]
+          * jnp.ones((1, 1, D_), jnp.bfloat16)).reshape(N_, ND).T
+    eb = (jnp.eye(N_, dtype=jnp.float32)[:, :, None]
+          * jnp.ones((1, 1, D_), jnp.float32)).reshape(N_, ND)
 
     if n_mt == 1:
         grid = (n_chunks,)
@@ -612,6 +629,7 @@ def _pallas_scan_bwd_flat(x, dt, A, Bm, Cm, hb_flat, gy, t_chunk: int = 8):
             seq_spec(N_), seq_spec(N_),
             seq_spec(D_),
             pl.BlockSpec((1, bm, ND), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_, ND), c_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec((ND, D_), c_ix, memory_space=pltpu.VMEM),
             pl.BlockSpec((ND, N_), c_ix, memory_space=pltpu.VMEM),
         ],
@@ -637,11 +655,12 @@ def _pallas_scan_bwd_flat(x, dt, A, Bm, Cm, hb_flat, gy, t_chunk: int = 8):
             dimension_semantics=("arbitrary",) * len(grid),
             vmem_limit_bytes=123 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(xp, dtp, af, bp, cp, gyp, hb_flat, sd, sn)
+    )(xp, dtp, af, bp, cp, gyp, hb_flat, eb, sd, sn)
 
     unpad = lambda v: jnp.moveaxis(v[:T_, :B_], 0, 1)
-    # ga flat d-major [1, D*N] reshapes directly to the [D, N] of A
-    return unpad(gx), unpad(gdt), ga.reshape(D_, N_), unpad(gb), unpad(gc)
+    # ga flat n-major [1, N*D] -> [N, D] -> transpose to the [D, N] of A
+    return (unpad(gx), unpad(gdt), jnp.transpose(ga.reshape(N_, D_), (1, 0)),
+            unpad(gb), unpad(gc))
 
 def selective_scan_step(
     h: jnp.ndarray,      # [B, D, N] fp32 carry
