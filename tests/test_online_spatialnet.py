@@ -285,3 +285,25 @@ def test_flat_scan_m_tiled(rng):
     y = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4, cap=8)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-3,
                                rtol=2e-2)
+
+
+def test_flat_scan_bf16_inputs(rng):
+    """bf16 activations (the training dtype) through the flat kernel track
+    the fp32 XLA reference within bf16 tolerance."""
+    import jax.numpy as jnp
+    from nbss_tpu.ops.ssm import _selective_scan_xla, selective_scan_pallas_flat
+
+    B, T, D, N = 3, 13, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
+    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.bfloat16)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.bfloat16)
+    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.bfloat16)
+    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
+
+    y_ref = _selective_scan_xla(x, dt, A, Bm, Cm, Dp)
+    y = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
