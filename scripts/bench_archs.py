@@ -32,7 +32,7 @@ def build(name):
                           dtype=jnp.bfloat16), 12
     if name == "nbc":
         return NBC(dim_input=2 * C, dim_output=2 * spk, n_layers=4,
-                   dim_hidden=192, dtype=jnp.bfloat16), 12
+                   hidden_size=192, dtype=jnp.bfloat16), 12
     if name == "nbc2":
         return NBC2(dim_input=2 * C, dim_output=2 * spk, n_layers=8,
                     dim_hidden=96, dim_ffn=192, num_freqs=129, n_heads=2,
@@ -57,17 +57,20 @@ def main():
         x = jnp.asarray(np.random.default_rng(0).standard_normal(
             (B, F, T, dim_in)), jnp.bfloat16)
         params = arch.init(jax.random.PRNGKey(0), x)
-        f = jax.jit(lambda p, x: arch.apply(p, x))
 
-        def loop(n=10):
+        # params/x MUST be jit ARGUMENTS: a zero-arg closure embeds them as
+        # HLO constants, which this backend re-materializes per call (6x
+        # inflated timings, measured -- see BENCH_NOTES round 2)
+        @jax.jit
+        def loop(params, x, n):
             def body(i, c):
-                return jnp.sum(f(params, x + jnp.asarray(c, x.dtype) * 0
-                                 ).astype(jnp.float32))
-            return jax.jit(lambda: jax.lax.fori_loop(0, n, body, 0.0))()
+                return jnp.mean(arch.apply(params, x + c * 1e-9
+                                           ).astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        float(loop())
+        float(loop(params, x, 2))
         t0 = time.perf_counter()
-        float(loop())
+        float(loop(params, x, 10))
         dt = (time.perf_counter() - t0) / 10
         print(f"{name}: {dt*1e3:.1f} ms fwd (B={B}) -> "
               f"{B * secs / dt:.0f} audio-sec/s", flush=True)

@@ -43,7 +43,10 @@ def main():
     params = arch.init(jax.random.PRNGKey(0), x[:, :, :8])
     state0 = arch.apply(params, B, method=arch.init_streaming_state)
 
-    def run_stream(x):
+    # params/state0/x as jit ARGUMENTS (constants embedded in a closure are
+    # re-materialized per call on this backend -- 6x inflated timings)
+    @jax.jit
+    def f(params, state0, x):
         def step(state, x_t):
             y_t, state = arch.apply(params, x_t, state,
                                     method=arch.streaming_step)
@@ -52,13 +55,12 @@ def main():
         _, ys = jax.lax.scan(step, state0, jnp.moveaxis(x, 2, 0))
         return ys
 
-    f = jax.jit(run_stream)
-    y = f(x)
+    y = f(params, state0, x)
     float(jnp.sum(y.astype(jnp.float32)))  # compile + sync
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
-        y = f(x)
+        y = f(params, state0, x)
     float(jnp.sum(y.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / reps
     per_frame_ms = dt / T * 1e3
