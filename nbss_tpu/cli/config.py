@@ -35,6 +35,13 @@ _ALIASES = {
     "data_loaders.whamr.WHAMRDataModule": "nbss_tpu.data.whamr.WHAMRDataModule",
     "data_loaders.spatialized_wsj0_mix.SpatializedWSJ0MixDataModule":
         "nbss_tpu.data.spatialized_wsj0_mix.SpatializedWSJ0MixDataModule",
+    "data_loaders.sms_wsj.SmsWsjDataModule": "nbss_tpu.data.sms_wsj.SmsWsjDataModule",
+    "data_loaders.chime3_moving.CHiME3MovingDataModule":
+        "nbss_tpu.data.chime3_moving.CHiME3MovingDataModule",
+    "data_loaders.libricss.LibriCSSDataModule": "nbss_tpu.data.libricss.LibriCSSDataModule",
+    "data_loaders.reverb.ReverbDataModule": "nbss_tpu.data.reverb.ReverbDataModule",
+    "data_loaders.spk4_wsj0_mix_sp.Spk4Wsj0mixSp":
+        "nbss_tpu.data.spk4_wsj0_mix_sp.Spk4Wsj0MixSpDataModule",
 }
 
 

@@ -136,23 +136,26 @@ def _maybe_init_distributed(cfg: Dict) -> None:
     Explicit env contract: NBSS_COORDINATOR=host:port, NBSS_NUM_PROCESSES,
     NBSS_PROCESS_ID (one process per host; each host then loads only its
     rank-strided data shard, sampler.py). Alternatively trainer.num_nodes>1
-    triggers jax.distributed.initialize() auto-detection (TPU pods)."""
-    import jax
+    triggers jax.distributed.initialize() auto-detection (TPU pods).
 
-    if jax.process_count() > 1:  # already initialized by the launcher
-        return
+    The decision to initialize is made from env/config ALONE before touching
+    any jax device API: jax.process_count() would initialize the XLA backend,
+    after which jax.distributed.initialize() raises RuntimeError."""
     coord = os.environ.get("NBSS_COORDINATOR")
-    if coord:
-        import jax.distributed
+    num_nodes = int(cfg.get("trainer", {}).get("num_nodes") or 1)
+    if not coord and num_nodes <= 1:
+        return
+    import jax.distributed
 
+    if jax.distributed.is_initialized():  # launcher already wired it
+        return
+    if coord:
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["NBSS_NUM_PROCESSES"]),
             process_id=int(os.environ["NBSS_PROCESS_ID"]),
         )
-    elif int(cfg.get("trainer", {}).get("num_nodes") or 1) > 1:
-        import jax.distributed
-
+    else:
         jax.distributed.initialize()
 
 

@@ -291,8 +291,13 @@ class SmsWsjDataModule(DataModule):
     num_spk: int = 2
     ref_channel: int = 0
     fuss_dir: Optional[str] = None
+    # which split the test/predict loaders evaluate: 'test'/'val'/'train'
+    # (reference sms_wsj.py:316,416-421)
+    test_set: str = "test"
 
     def _make_dataset(self, stage_idx: int):
+        if stage_idx >= 2:
+            stage_idx = {"test": stage_idx, "val": 1, "train": 0}[self.test_set]
         return SmsWsjDataset(
             sms_wsj_dir=self.sms_wsj_dir, target=self.target,
             dataset=self.datasets[stage_idx],

@@ -64,15 +64,9 @@ def run_test(trainer, module, test_loader, log_dir: str,
     item_idx = 0
     for batch_idx, (x, ys, paras) in enumerate(test_loader):
         T0 = x.shape[-1]
-        if length_bucket_s:
-            fs_b = paras[0].get("sample_rate", 16000) if paras else 16000
-            quantum = max(int(length_bucket_s * fs_b), 1)
-            Tpad = -(-T0 // quantum) * quantum
-            if Tpad != T0:
-                x = np.pad(np.asarray(x), [(0, 0)] * (np.ndim(x) - 1)
-                           + [(0, Tpad - T0)])
-                ys = np.pad(np.asarray(ys), [(0, 0)] * (np.ndim(ys) - 1)
-                            + [(0, Tpad - T0)])
+        fs_b = paras[0].get("sample_rate", 16000) if paras else 16000
+        x = _pad_to_bucket(x, T0, length_bucket_s, fs_b)
+        ys = _pad_to_bucket(ys, T0, length_bucket_s, fs_b)
         out = test_step(trainer.params, (jnp.asarray(x), jnp.asarray(ys)))
         batch_loss = float(out["loss"])  # batch-mean (per-item not separable)
         yr_hat_b = np.asarray(out["yr_hat"])[..., :T0]
@@ -150,9 +144,23 @@ def run_test(trainer, module, test_loader, log_dir: str,
     return {"num_items": len(results), **mean}
 
 
-def run_predict(trainer, module, predict_loader, log_dir: str) -> List[str]:
+def _pad_to_bucket(x, T0: int, length_bucket_s: float, fs: int):
+    """Zero-pad the last dim up to the next length bucket (falsy
+    ``length_bucket_s`` disables padding). Shared by run_test/run_predict."""
+    if not length_bucket_s:
+        return x
+    quantum = max(int(length_bucket_s * fs), 1)
+    Tpad = -(-T0 // quantum) * quantum
+    if Tpad == T0:
+        return x
+    return np.pad(np.asarray(x), [(0, 0)] * (np.ndim(x) - 1) + [(0, Tpad - T0)])
+
+
+def run_predict(trainer, module, predict_loader, log_dir: str,
+                length_bucket_s: float = 1.0) -> List[str]:
     """Write predicted wavs to log_dir/examples honoring paras['saveto']
-    (reference general_steps.py:110-160)."""
+    (reference general_steps.py:110-160). ``length_bucket_s`` behaves as in
+    run_test (falsy disables padding)."""
     from nbss_tpu.utils.audio_io import write_audio
     import jax
 
@@ -164,10 +172,7 @@ def run_predict(trainer, module, predict_loader, log_dir: str) -> List[str]:
         # length-bucket padding to bound recompiles (see run_test)
         T0 = x.shape[-1]
         fs_b = paras[0].get("sample_rate", 16000) if paras else 16000
-        Tpad = -(-T0 // fs_b) * fs_b
-        if Tpad != T0:
-            x = np.pad(np.asarray(x), [(0, 0)] * (np.ndim(x) - 1)
-                       + [(0, Tpad - T0)])
+        x = _pad_to_bucket(x, T0, length_bucket_s, fs_b)
         yhat = np.asarray(predict(trainer.params, jnp.asarray(x)))[..., :T0]
         for b, para in enumerate(paras):
             fs = para.get("sample_rate", 16000)

@@ -107,171 +107,6 @@ def _m_tiling(Bp: int, cap: int = 256):
     return bm, n_tiles, bm * n_tiles
 
 
-def _pallas_scan_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, eb_ref,
-                             s_ref, y_ref, hb_ref, h_ref, da_ref, dbx_ref,
-                             cc_ref, *, tc, n, tdim):
-    """Flat-lane variant: state [Bm, N*D] with lane j = n*D + d (n-major).
-
-    Rationale (vs ``_pallas_scan_kernel``'s [Bm, N, D] layout): the 3-D
-    layout broadcasts b_t/c_t [Bm, N] across the D lane dim every step —
-    a lane->sublane relayout per step that dominates the serial loop. Here
-    every per-chunk tensor is flattened to [Tc, Bm, N*D] (still 3-D, so
-    dynamic t-indexing stays a cheap address offset), the exp/discretize/
-    input products are precomputed VECTORIZED over the whole chunk into
-    VMEM scratch, and the serial loop is 3 elementwise vector ops plus one
-    MXU matmul: y_t = (h ∘ cc_t) @ S, where S [N*D, D] is the 0/1
-    segment-sum matrix that reduces over n and compacts the lanes.
-
-    n-major expansion avoids unsupported Mosaic ops: dt [.., D] -> [.., N*D]
-    is ``jnp.tile`` (a lane concatenation), and b/c [.., N] -> [.., N*D] is
-    an exact contraction-16 matmul with the 0/1 expansion matrix Eb (fp32
-    MXU passes 0/1 products through exactly). jnp.repeat (element-wise
-    lane repeat, d-major) is NOT lowerable ("unsupported shape cast").
-
-    N*D must be a lane-tile multiple (N=16, D=192 -> 3072 = 24x128, no
-    padding waste; the [Bm, N, D] layout pads 192->256 lanes = 25% waste).
-    """
-    @pl.when(pl.program_id(tdim) == 0)
-    def _():
-        h_ref[...] = jnp.zeros_like(h_ref)
-
-    if hb_ref is not None:
-        hb_ref[0] = h_ref[...]
-
-    af = af_ref[...]  # [1, N*D] fp32 (negative), n-major
-    dt_all = dt_ref[...].astype(jnp.float32)    # [Tc, Bm, D]
-    x_all = x_ref[...].astype(jnp.float32)
-    b_all = b_ref[...].astype(jnp.float32)      # [Tc, Bm, N]
-    c_all = c_ref[...].astype(jnp.float32)
-    eb = eb_ref[...]  # [N, N*D] 0/1 fp32 expansion
-    expand = lambda v: jax.lax.dot_general(
-        v, eb, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # lane block-tile: value at lane n*D+d is dt[..., d]
-    dtf = jnp.tile(dt_all, (1, 1, n))           # [Tc, Bm, N*D]
-    dtxf = jnp.tile(dt_all * x_all, (1, 1, n))
-    bb = expand(b_all)                          # value at n*D+d is b[..., n]
-    cc_ref[...] = expand(c_all)
-    da_ref[...] = jnp.exp(dtf * af[None])
-    dbx_ref[...] = dtxf * bb
-
-    s = s_ref[...]  # [N*D, D] 0/1 bf16
-
-    def body(t, _):
-        h = da_ref[t] * h_ref[...] + dbx_ref[t]
-        h_ref[...] = h
-        z = (h * cc_ref[t]).astype(s.dtype)
-        y_ref[t] = jax.lax.dot_general(
-            z, s, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(y_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, tc, body, 0)
-
-
-def _pallas_scan_kernel_flat_noboundary(x_ref, dt_ref, af_ref, b_ref, c_ref,
-                                        eb_ref, s_ref, y_ref, h_ref, da_ref,
-                                        dbx_ref, cc_ref, *, tc, n, tdim):
-    _pallas_scan_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, eb_ref,
-                             s_ref, y_ref, None, h_ref, da_ref, dbx_ref,
-                             cc_ref, tc=tc, n=n, tdim=tdim)
-
-
-def selective_scan_pallas_flat(
-    x: jnp.ndarray,      # [B, T, D]
-    dt: jnp.ndarray,     # [B, T, D] (post-softplus)
-    A: jnp.ndarray,      # [D, N] (negative)
-    Bm: jnp.ndarray,     # [B, T, N]
-    Cm: jnp.ndarray,     # [B, T, N]
-    D: jnp.ndarray,      # [D]
-    t_chunk: int = 8,
-    return_boundaries: bool = False,
-    convert_boundaries: bool = True,
-    cap: int = 264,
-):
-    """Flat-lane-layout Pallas selective scan (see _pallas_scan_kernel_flat).
-
-    Boundary states (for the backward) are returned converted to the
-    [n_chunks, B, N, D] layout `_pallas_scan_bwd` consumes, or raw flat
-    [n_chunks, B, D*N] for `_pallas_scan_bwd_flat` when
-    convert_boundaries=False."""
-    B_, T_, D_ = x.shape
-    N_ = A.shape[-1]
-    ND = D_ * N_
-    Bp0 = -(-B_ // 8) * 8
-    # three [Tc, Bm, D*N] fp32 scratch buffers cap the tile size
-    bm, n_mt, Bp = _m_tiling(Bp0, cap=cap)
-    Tp = -(-T_ // t_chunk) * t_chunk
-    n_chunks = Tp // t_chunk
-
-    def tmajor(v):
-        v = jnp.moveaxis(v, 1, 0)  # [T, B, F]
-        return jnp.pad(v, ((0, Tp - T_), (0, Bp - B_), (0, 0)))
-
-    xp, dtp, bp, cp = (tmajor(v) for v in (x, dt, Bm, Cm))
-    # n-major flat A: lane j = n*D + d
-    af = jnp.transpose(A.astype(jnp.float32), (1, 0)).reshape(1, ND)
-    # segment-sum matrix S[n*D + d, d] = 1 and its transpose-expansion
-    # Eb[n, n*D + d] = 1
-    s_mat = jnp.tile(jnp.eye(D_, dtype=jnp.bfloat16), (N_, 1))
-    eb_mat = (jnp.eye(N_, dtype=jnp.float32)[:, :, None]
-              * jnp.ones((1, 1, D_), jnp.float32)).reshape(N_, ND)
-
-    if n_mt == 1:
-        grid = (n_chunks,)
-        tdim = 0
-        seq_ix, hb_ix, c_ix = (lambda t: (t, 0, 0)), (lambda t: (t, 0, 0)), (lambda t: (0, 0))
-    else:
-        grid = (n_mt, n_chunks)
-        tdim = 1
-        seq_ix, hb_ix, c_ix = (lambda m, t: (t, m, 0)), (lambda m, t: (t, m, 0)), (lambda m, t: (0, 0))
-    seq_spec = lambda feat: pl.BlockSpec((t_chunk, bm, feat), seq_ix,
-                                         memory_space=pltpu.VMEM)
-    out_specs = [seq_spec(D_)]
-    out_shapes = [jax.ShapeDtypeStruct((Tp, Bp, D_), x.dtype)]
-    kernel = functools.partial(_pallas_scan_kernel_flat, tc=t_chunk, n=N_,
-                               tdim=tdim)
-    if return_boundaries:
-        out_specs.append(pl.BlockSpec((1, bm, ND), hb_ix,
-                                      memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((n_chunks, Bp, ND),
-                                               jnp.float32))
-    else:
-        kernel = functools.partial(_pallas_scan_kernel_flat_noboundary,
-                                   tc=t_chunk, n=N_, tdim=tdim)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            seq_spec(D_), seq_spec(D_),
-            pl.BlockSpec((1, ND), c_ix, memory_space=pltpu.VMEM),
-            seq_spec(N_), seq_spec(N_),
-            pl.BlockSpec((N_, ND), c_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ND, D_), c_ix, memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs if return_boundaries else out_specs[0],
-        out_shape=out_shapes if return_boundaries else out_shapes[0],
-        scratch_shapes=[pltpu.VMEM((bm, ND), jnp.float32),
-                        pltpu.VMEM((t_chunk, bm, ND), jnp.float32),
-                        pltpu.VMEM((t_chunk, bm, ND), jnp.float32),
-                        pltpu.VMEM((t_chunk, bm, ND), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * len(grid),
-            vmem_limit_bytes=123 * 1024 * 1024),
-        interpret=jax.default_backend() == "cpu",
-    )(xp, dtp, af, bp, cp, eb_mat, s_mat)
-    out, hb = outs if return_boundaries else (outs, None)
-    y = jnp.moveaxis(out[:T_, :B_], 0, 1)  # [B, T, D]
-    y = (y.astype(jnp.float32) + x.astype(jnp.float32) * D.astype(jnp.float32)
-         ).astype(x.dtype)
-    if return_boundaries:
-        if convert_boundaries:
-            # flat n-major [.., N*D] reshapes directly to the bwd's [.., N, D]
-            hb = hb.reshape(n_chunks, Bp, N_, D_)
-        return y, hb
-    return y
-
-
 def selective_scan_pallas(
     x: jnp.ndarray,      # [B, T, D]
     dt: jnp.ndarray,     # [B, T, D] (post-softplus)
@@ -281,6 +116,7 @@ def selective_scan_pallas(
     D: jnp.ndarray,      # [D]
     t_chunk: int = 8,
     return_boundaries: bool = False,
+    cap: int = 1056,
 ):
     """Pallas selective scan: serial only over T, the whole batch advances
     one frame per step with the state resident in VMEM. Avoids the XLA
@@ -294,7 +130,7 @@ def selective_scan_pallas(
     Bp0 = -(-B_ // 8) * 8
     # single M tile (1-D grid over T chunks) for any batch the VMEM budget
     # allows — the 2-D M-tiled grid exists only for very large B*F
-    bm, n_mt, Bp = _m_tiling(Bp0, cap=1056)
+    bm, n_mt, Bp = _m_tiling(Bp0, cap=cap)
     Tp = -(-T_ // t_chunk) * t_chunk
     n_chunks = Tp // t_chunk
 
@@ -356,80 +192,6 @@ def _pallas_scan_kernel_noboundary(x_ref, dt_ref, a_ref, b_ref, c_ref, y_ref,
                                    h_ref, *, tc, tdim):
     _pallas_scan_kernel(x_ref, dt_ref, a_ref, b_ref, c_ref, y_ref, None,
                         h_ref, tc=tc, tdim=tdim)
-
-
-def _pallas_scan_bwd_kernel_flat(x_ref, dt_ref, af_ref, b_ref, c_ref, gy_ref,
-                                 hb_ref, eb_ref, sd_ref, sn_ref,
-                                 gx_ref, gdt_ref, gb_ref, gc_ref, ga_ref,
-                                 lam_ref, ga_acc_ref, da_ref, dbx_ref, cc_ref,
-                                 *, tc, n, n_chunks, tdim):
-    """Flat-lane reverse adjoint (see _pallas_scan_kernel_flat for layout).
-
-    All state-sized tensors are [*, Bm, N*D] (lane j = n*D + d); the
-    n-segment reductions (g_dt, lamB) ride the MXU via sd [N*D, D], and
-    the d-segment reductions (g_B, g_C) via sn [N*D, N]; the gA reduction
-    over the batch is a sublane sum. Per-chunk exp/products are vectorized
-    into VMEM scratch; the unrolled loops are elementwise + matmuls only.
-    """
-    m = pl.program_id(0) if tdim == 1 else 0
-    t_rev = pl.program_id(tdim)
-
-    @pl.when(t_rev == 0)
-    def _():
-        lam_ref[...] = jnp.zeros_like(lam_ref)
-        ga_acc_ref[...] = jnp.zeros_like(ga_acc_ref)
-
-    af = af_ref[...]  # [1, N*D] fp32 (negative), n-major
-    dt_all = dt_ref[...].astype(jnp.float32)   # [Tc, Bm, D]
-    x_all = x_ref[...].astype(jnp.float32)
-    eb = eb_ref[...]  # [N, N*D] 0/1 fp32 expansion
-    expand = lambda v: jax.lax.dot_general(
-        v.astype(jnp.float32), eb,
-        dimension_numbers=(((v.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dtf = jnp.tile(dt_all, (1, 1, n))          # [Tc, Bm, N*D]
-    dtxf = jnp.tile(dt_all * x_all, (1, 1, n))
-    bb = expand(b_ref[...])
-    cc_ref[...] = expand(c_ref[...])
-    da_ref[...] = jnp.exp(dtf * af[None])
-    dbx_ref[...] = dtxf * bb
-    sd = sd_ref[...]  # [N*D, D] bf16 0/1
-    sn = sn_ref[...]  # [N*D, N] bf16 0/1
-
-    def seg(v, s_mat):
-        return jax.lax.dot_general(
-            v.astype(jnp.bfloat16), s_mat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    # forward recompute of in-chunk states (unrolled, static indices)
-    hs = [hb_ref[0]]
-    for t in range(tc):
-        hs.append(da_ref[t] * hs[-1] + dbx_ref[t])
-
-    lam = lam_ref[...]
-    ga = ga_acc_ref[...]
-    for t in range(tc - 1, -1, -1):
-        gy_t = gy_ref[t].astype(jnp.float32)   # [Bm, D]
-        gyf = jnp.tile(gy_t, (1, n))           # [Bm, N*D]
-        lam = lam + gyf * cc_ref[t]
-        dA = da_ref[t]
-        gdAdA = lam * hs[t] * dA               # lam * h_{t-1} * dA
-        lamB = seg(lam * bb[t], sd)            # [Bm, D]
-        gdt_ref[t] = (seg(gdAdA * af, sd)
-                      + lamB * x_all[t]).astype(gdt_ref.dtype)
-        gx_ref[t] = (lamB * dt_all[t]).astype(gx_ref.dtype)
-        gb_ref[t] = seg(lam * dtxf[t], sn).astype(gb_ref.dtype)
-        gc_ref[t] = seg(gyf * hs[t + 1], sn).astype(gc_ref.dtype)
-        ga = ga + jnp.sum(gdAdA * dtf[t], axis=0, keepdims=True)
-        lam = dA * lam
-    lam_ref[...] = lam
-    ga_acc_ref[...] = ga
-
-    @pl.when(t_rev == n_chunks - 1)
-    def _():
-        prev = jnp.where(m == 0, jnp.zeros_like(ga_acc_ref[...]), ga_ref[...])
-        ga_ref[...] = prev + ga_acc_ref[...]
 
 
 def _pallas_scan_bwd_kernel(x_ref, dt_ref, a_ref, b_ref, c_ref, gy_ref, hb_ref,
@@ -579,89 +341,6 @@ def _pallas_scan_bwd(x, dt, A, Bm, Cm, hb, gy, t_chunk: int = 8):
     return unpad(gx), unpad(gdt), jnp.transpose(ga, (1, 0)), unpad(gb), unpad(gc)
 
 
-def _pallas_scan_bwd_flat(x, dt, A, Bm, Cm, hb_flat, gy, t_chunk: int = 8):
-    """Flat-lane reverse scan; hb_flat is the [n_chunks, Bp, D*N] boundary
-    output of ``selective_scan_pallas_flat(..., convert_boundaries=False)``.
-    Returns (gx_core, gdt, gA, gB, gC) like ``_pallas_scan_bwd``."""
-    B_, T_, D_ = x.shape
-    N_ = A.shape[-1]
-    ND = D_ * N_
-    Bp0 = -(-B_ // 8) * 8
-    bm, n_mt, Bp = _m_tiling(Bp0, cap=128)
-    Tp = -(-T_ // t_chunk) * t_chunk
-    n_chunks = Tp // t_chunk
-    if hb_flat.shape[1] != Bp:
-        hb_flat = (jnp.pad(hb_flat, ((0, 0), (0, Bp - hb_flat.shape[1]), (0, 0)))
-                   if hb_flat.shape[1] < Bp else hb_flat[:, :Bp])
-
-    def tmajor(v):
-        v = jnp.moveaxis(v, 1, 0)
-        return jnp.pad(v, ((0, Tp - T_), (0, Bp - B_), (0, 0)))
-
-    xp, dtp, bp, cp, gyp = (tmajor(v) for v in (x, dt, Bm, Cm, gy))
-    # n-major flat (lane j = n*D + d)
-    af = jnp.transpose(A.astype(jnp.float32), (1, 0)).reshape(1, ND)
-    sd = jnp.tile(jnp.eye(D_, dtype=jnp.bfloat16), (N_, 1))
-    sn = (jnp.eye(N_, dtype=jnp.bfloat16)[:, :, None]
-          * jnp.ones((1, 1, D_), jnp.bfloat16)).reshape(N_, ND).T
-    eb = (jnp.eye(N_, dtype=jnp.float32)[:, :, None]
-          * jnp.ones((1, 1, D_), jnp.float32)).reshape(N_, ND)
-
-    if n_mt == 1:
-        grid = (n_chunks,)
-        tdim = 0
-        rev = lambda t: (n_chunks - 1 - t, 0, 0)
-        c_ix = lambda t: (0, 0)
-    else:
-        grid = (n_mt, n_chunks)
-        tdim = 1
-        rev = lambda m, t: (n_chunks - 1 - t, m, 0)
-        c_ix = lambda m, t: (0, 0)
-    seq_spec = lambda feat: pl.BlockSpec((t_chunk, bm, feat), rev,
-                                         memory_space=pltpu.VMEM)
-    gx, gdt, gb, gc, ga = pl.pallas_call(
-        functools.partial(_pallas_scan_bwd_kernel_flat, tc=t_chunk, n=N_,
-                          n_chunks=n_chunks, tdim=tdim),
-        grid=grid,
-        in_specs=[
-            seq_spec(D_), seq_spec(D_),
-            pl.BlockSpec((1, ND), c_ix, memory_space=pltpu.VMEM),
-            seq_spec(N_), seq_spec(N_),
-            seq_spec(D_),
-            pl.BlockSpec((1, bm, ND), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_, ND), c_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ND, D_), c_ix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((ND, N_), c_ix, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            seq_spec(D_), seq_spec(D_), seq_spec(N_), seq_spec(N_),
-            pl.BlockSpec((1, ND), c_ix, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, Bp, D_), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, Bp, D_), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, Bp, N_), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, Bp, N_), jnp.float32),
-            jax.ShapeDtypeStruct((1, ND), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bm, ND), jnp.float32),
-            pltpu.VMEM((1, ND), jnp.float32),
-            pltpu.VMEM((t_chunk, bm, ND), jnp.float32),
-            pltpu.VMEM((t_chunk, bm, ND), jnp.float32),
-            pltpu.VMEM((t_chunk, bm, ND), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * len(grid),
-            vmem_limit_bytes=123 * 1024 * 1024),
-        interpret=jax.default_backend() == "cpu",
-    )(xp, dtp, af, bp, cp, gyp, hb_flat, eb, sd, sn)
-
-    unpad = lambda v: jnp.moveaxis(v[:T_, :B_], 0, 1)
-    # ga flat n-major [1, N*D] -> [N, D] -> transpose to the [D, N] of A
-    return (unpad(gx), unpad(gdt), jnp.transpose(ga.reshape(N_, D_), (1, 0)),
-            unpad(gb), unpad(gc))
-
 def selective_scan_step(
     h: jnp.ndarray,      # [B, D, N] fp32 carry
     x_t: jnp.ndarray,    # [B, D]
@@ -682,39 +361,25 @@ def selective_scan_step(
     return h, y.astype(x_t.dtype)
 
 
-def _flat_path(A):
-    """Route to the flat-lane kernels when enabled (NBSS_SSM_FLAT=1) and
-    the flattened state is lane-tile aligned (no padding waste).
-    Off by default until the on-chip A/B (BENCH_NOTES) proves it."""
-    import os
-
-    if os.environ.get("NBSS_SSM_FLAT", "0") in ("0", "off", "false"):
-        return False
-    D_, N_ = A.shape
-    return (D_ * N_) % 128 == 0
-
-
 @jax.custom_vjp
 def selective_scan(x, dt, A, Bm, Cm, D):
     """Public selective scan: Pallas forward + Pallas reverse-scan backward
     on TPU (state resident in VMEM, only chunk-boundary states in HBM);
-    lax.scan forward + reverse-scan backward elsewhere."""
+    lax.scan forward + reverse-scan backward elsewhere.
+
+    A flat-lane [Bm, N*D] kernel layout was A/B'd in round 2 and measured
+    ~25% slower end to end (BENCH_NOTES.md "Flat-lane scan layout"); the
+    variant was removed — this [Bm, N, D] family is the one maintained
+    path."""
     if jax.default_backend() == "tpu":
-        if _flat_path(A):
-            return selective_scan_pallas_flat(x, dt, A, Bm, Cm, D)
         return selective_scan_pallas(x, dt, A, Bm, Cm, D)
     return _selective_scan_xla(x, dt, A, Bm, Cm, D)
 
 
 def _ss_fwd(x, dt, A, Bm, Cm, D):
     if jax.default_backend() == "tpu":
-        if _flat_path(A):
-            y, hb = selective_scan_pallas_flat(x, dt, A, Bm, Cm, D,
-                                               return_boundaries=True,
-                                               convert_boundaries=False)
-        else:
-            y, hb = selective_scan_pallas(x, dt, A, Bm, Cm, D,
-                                          return_boundaries=True)
+        y, hb = selective_scan_pallas(x, dt, A, Bm, Cm, D,
+                                      return_boundaries=True)
         return y, (x, dt, A, Bm, Cm, D, hb)
     return selective_scan(x, dt, A, Bm, Cm, D), (x, dt, A, Bm, Cm, D, None)
 
@@ -723,8 +388,7 @@ def _ss_bwd(res, gy):
     """Reverse-time adjoint with an O(B*D*N) carry.
 
     TPU: the Pallas reverse kernel recomputes in-chunk states from the
-    forward's saved chunk boundaries entirely in VMEM (``_pallas_scan_bwd``
-    or its flat-lane variant, matching the forward's routing).
+    forward's saved chunk boundaries entirely in VMEM (``_pallas_scan_bwd``).
     Other backends: a lax.scan that stores the forward states h_t
     ([T, B, D, N], one tensor) and recomputes every per-step quantity inside
     the reverse scan (a naive vjp of the scan reference would materialize
@@ -735,8 +399,7 @@ def _ss_bwd(res, gy):
         dtype_in = [v.dtype for v in (x, dt, A, Bm, Cm, D)]
         x32, dt32 = x.astype(jnp.float32), dt.astype(jnp.float32)
         gy32 = gy.astype(jnp.float32)
-        bwd = _pallas_scan_bwd_flat if hb.ndim == 3 else _pallas_scan_bwd
-        gx, gdt, gA, gB, gC = bwd(
+        gx, gdt, gA, gB, gC = _pallas_scan_bwd(
             x32, dt32, A.astype(jnp.float32), Bm.astype(jnp.float32),
             Cm.astype(jnp.float32), hb, gy32)
         gx = gx + gy32 * D.astype(jnp.float32)

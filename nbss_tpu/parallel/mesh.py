@@ -53,9 +53,12 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     sampler.py), so the global array is assembled with
     ``jax.make_array_from_process_local_data`` — the analogue of DDP's
     per-rank batches. Arrays whose leading dim does not divide the mesh
-    (e.g. batch-1 full-length eval utterances) are replicated instead
-    (multi-process replication requires identical data on every host, which
-    holds only for seed-fixed val/test stages)."""
+    (e.g. batch-1 full-length eval utterances) are replicated instead.
+    Multi-process replication requires identical data on every host (holds
+    for seed-fixed val/test stages); because a silent mismatch would make
+    val metrics / early stopping / LR decisions diverge across hosts, the
+    replicated fallback VERIFIES this with a cheap host-side checksum
+    all-gather and raises on mismatch."""
     sharded = batch_sharding(mesh, axis)
     repl = replicated(mesh)
     n = mesh.shape[axis]  # size of the batch axis (mesh may be multi-axis)
@@ -66,11 +69,29 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
         if multi:
             if x.ndim > 0 and (x.shape[0] * jax.process_count()) % n == 0:
                 return jax.make_array_from_process_local_data(sharded, x)
+            _assert_same_across_processes(x)
             return jax.make_array_from_process_local_data(repl, x)
         sh = sharded if (x.ndim > 0 and x.shape[0] % n == 0) else repl
         return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)
+
+
+def _assert_same_across_processes(x: np.ndarray) -> None:
+    """Raise if ``x`` differs between processes (crc32 over raw bytes,
+    gathered via one tiny collective). Only runs on the rare ragged-batch
+    replication fallback, so the cost is negligible."""
+    import zlib
+
+    from jax.experimental import multihost_utils
+
+    h = np.array([zlib.crc32(np.ascontiguousarray(x).tobytes())], np.uint32)
+    gathered = np.asarray(multihost_utils.process_allgather(h)).reshape(-1)
+    if not (gathered == gathered[0]).all():
+        raise ValueError(
+            "replicated batch differs across processes (checksums "
+            f"{gathered.tolist()}); ragged val/test batches must be "
+            "seed-identical on every host — check the sampler seeds")
 
 
 def replicate(mesh: Mesh, tree):

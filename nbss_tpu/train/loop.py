@@ -156,6 +156,7 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         history: Dict[str, float] = {}
         checked_unused = self.epoch > 0 or not self.detect_unused_parameters
+        first_epoch = self.epoch  # profiler captures only this epoch
 
         for epoch in range(self.epoch, max_epochs):
             t0 = time.time()
@@ -164,7 +165,7 @@ class Trainer:
             for step, batch in enumerate(it):
                 if steps_per_epoch is not None and step >= steps_per_epoch:
                     break
-                if self.profile_dir and epoch == self.epoch:
+                if self.profile_dir and epoch == first_epoch:
                     self._profile_hook(step)
                 x, ys = jnp.asarray(batch[0]), jnp.asarray(batch[1])
                 sb = shard_batch(self.mesh, (x, ys))

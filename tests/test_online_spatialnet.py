@@ -200,78 +200,11 @@ def test_pallas_scan_bwd_matches_autodiff(rng):
                                    rtol=1e-3, err_msg=name)
 
 
-def test_flat_scan_matches_xla(rng):
-    """Flat-lane-layout forward (d-major [Bm, D*N] state, MXU segment-sum)
-    must match the XLA reference, and its converted boundary states must
-    drive _pallas_scan_bwd to the same gradients."""
-    import jax
+def test_scan_m_tiled(rng):
+    """Forward with a forced multi-M-tile 2-D grid matches the XLA reference
+    (state reset per tile)."""
     import jax.numpy as jnp
-    from nbss_tpu.ops.ssm import (_pallas_scan_bwd, _selective_scan_xla,
-                                  selective_scan_pallas_flat)
-
-    B, T, D, N = 3, 13, 8, 4
-    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
-    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.float32)
-    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
-    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
-    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
-    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
-    gy = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
-
-    y_ref = _selective_scan_xla(x, dt, A, Bm, Cm, Dp)
-    y = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-3,
-                               rtol=2e-2)
-
-    y2, hb = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4,
-                                        return_boundaries=True)
-    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
-    gx, gdt, gA, gB, gC = _pallas_scan_bwd(x, dt, A, Bm, Cm, hb, gy, t_chunk=4)
-    gx = gx + gy * Dp
-    _, vjp = jax.vjp(_selective_scan_xla, x, dt, A, Bm, Cm, Dp)
-    rx, rdt, rA, rB, rC, _ = vjp(gy)
-    for name, a, b in zip("x dt A B C".split(), (gx, gdt, gA, gB, gC),
-                          (rx, rdt, rA, rB, rC)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
-                                   rtol=1e-2, err_msg=name)
-
-
-def test_flat_scan_bwd_matches_autodiff(rng):
-    """Flat-lane backward (MXU segment-sums, bf16 reductions) matches
-    autodiff within bf16-reduction tolerance."""
-    import jax
-    import jax.numpy as jnp
-    from nbss_tpu.ops.ssm import (_pallas_scan_bwd_flat, _selective_scan_xla,
-                                  selective_scan_pallas_flat)
-
-    B, T, D, N = 3, 13, 8, 4
-    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
-    dt = jnp.asarray(rng.uniform(0.001, 0.1, (B, T, D)), jnp.float32)
-    A = -jnp.asarray(rng.uniform(0.5, 2.0, (D, N)), jnp.float32)
-    Bm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
-    Cm = jnp.asarray(rng.standard_normal((B, T, N)), jnp.float32)
-    Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
-    gy = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
-
-    _, hb = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4,
-                                       return_boundaries=True,
-                                       convert_boundaries=False)
-    gx, gdt, gA, gB, gC = _pallas_scan_bwd_flat(x, dt, A, Bm, Cm, hb, gy,
-                                                t_chunk=4)
-    gx = gx + gy * Dp
-    _, vjp = jax.vjp(_selective_scan_xla, x, dt, A, Bm, Cm, Dp)
-    rx, rdt, rA, rB, rC, _ = vjp(gy)
-    for name, a, b in zip("x dt A B C".split(), (gx, gdt, gA, gB, gC),
-                          (rx, rdt, rA, rB, rC)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
-                                   rtol=5e-2, err_msg=name)
-
-
-def test_flat_scan_m_tiled(rng):
-    """Flat forward with a forced multi-M-tile 2-D grid matches the XLA
-    reference (state reset per tile, boundary blocks per tile)."""
-    import jax.numpy as jnp
-    from nbss_tpu.ops.ssm import _selective_scan_xla, selective_scan_pallas_flat
+    from nbss_tpu.ops.ssm import _selective_scan_xla, selective_scan_pallas
 
     B, T, D, N = 20, 9, 8, 4  # Bp=24 -> 3 tiles of 8 with cap=8
     x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
@@ -282,16 +215,16 @@ def test_flat_scan_m_tiled(rng):
     Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
 
     y_ref = _selective_scan_xla(x, dt, A, Bm, Cm, Dp)
-    y = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4, cap=8)
+    y = selective_scan_pallas(x, dt, A, Bm, Cm, Dp, t_chunk=4, cap=8)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-3,
                                rtol=2e-2)
 
 
-def test_flat_scan_bf16_inputs(rng):
-    """bf16 activations (the training dtype) through the flat kernel track
+def test_scan_bf16_inputs(rng):
+    """bf16 activations (the training dtype) through the Pallas kernel track
     the fp32 XLA reference within bf16 tolerance."""
     import jax.numpy as jnp
-    from nbss_tpu.ops.ssm import _selective_scan_xla, selective_scan_pallas_flat
+    from nbss_tpu.ops.ssm import _selective_scan_xla, selective_scan_pallas
 
     B, T, D, N = 3, 13, 8, 4
     x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
@@ -302,7 +235,7 @@ def test_flat_scan_bf16_inputs(rng):
     Dp = jnp.asarray(rng.standard_normal(D), jnp.float32)
 
     y_ref = _selective_scan_xla(x, dt, A, Bm, Cm, Dp)
-    y = selective_scan_pallas_flat(x, dt, A, Bm, Cm, Dp, t_chunk=4)
+    y = selective_scan_pallas(x, dt, A, Bm, Cm, Dp, t_chunk=4)
     assert y.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(y_ref, np.float32),
