@@ -64,7 +64,14 @@ def parse_attention(attention: str):
 
 def local_causal_mask(slen: int, scope: float) -> np.ndarray:
     """[T, T] additive mask: 0 where 0 <= i-j < scope else -inf
-    (OnlineSpatialNet.py:366-384)."""
+    (OnlineSpatialNet.py:366-384).
+
+    Parity note: the reference passes this mask to torch MultiheadAttention
+    together with is_causal=True (OnlineSpatialNet.py:191); on torch >= 2.x
+    the SDPA fast path then DISCARDS the mask and applies a plain causal
+    one, so the reference effectively trains mhsa(N) with unbounded scope.
+    nbss_tpu honours the bounded scope as specified — it is what makes the
+    O(1)-memory streaming KV ring buffer (init_streaming_state) exact."""
     i = np.arange(slen)
     rel = i[:, None] - i[None, :]
     return np.where((rel >= 0) & (rel < scope), 0.0, -np.inf).astype(np.float32)
@@ -93,8 +100,9 @@ class CrossGroupNorm(nn.Module):
         B, F, T, H = x.shape
         G = self.num_groups
         xg = x.reshape(B, F, T, G, H // G)
-        # stats over (F, H//G) per (B, T, G)
-        y = _norm_stats(jnp.moveaxis(xg, 1, 3), [-3, -1], self.eps)  # [B,T,G,F,h]
+        # stats over (F, H//G) per (B, T, G) — after moveaxis the layout is
+        # [B, T, G, F, h], so reduce the trailing (F, h) axes
+        y = _norm_stats(jnp.moveaxis(xg, 1, 3), [-2, -1], self.eps)  # [B,T,G,F,h]
         y = jnp.moveaxis(y, 3, 1).reshape(B, F, T, H)
         w = self.param("scale", nn.initializers.ones, (H,), self.param_dtype)
         b = self.param("bias", nn.initializers.zeros, (H,), self.param_dtype)

@@ -158,6 +158,21 @@ def blstm2_fc1_params_from_torch(sd: Mapping[str, np.ndarray],
     return p
 
 
+def online_spatialnet_params_from_torch(
+    sd: Mapping[str, np.ndarray], num_layers: int, full_share: int = 0
+) -> Dict:
+    """Map the reference OnlineSpatialNet (mhsa variant) state_dict
+    (OnlineSpatialNet.py:259-337) onto nbss_tpu's OnlineSpatialNet.
+
+    The mhsa-variant layer layout is module-for-module the offline
+    SpatialNet one (same fconv/full/mhsa/tconvffn submodule indices,
+    OnlineSpatialNet.py:86-141 vs SpatialNet.py:46-73; only padding
+    semantics differ, which carry no parameters), so the mapping is shared.
+    ret/mamba time modules have their own parameter sets and are not
+    handled here."""
+    return spatialnet_params_from_torch(sd, num_layers, full_share)
+
+
 def spatialnet_params_from_torch(
     sd: Mapping[str, np.ndarray], num_layers: int, full_share: int = 0
 ) -> Dict:

@@ -1,0 +1,206 @@
+"""Full-chain golden parity vs the reference TrainModule (torch, CPU).
+
+One waveform batch through the reference forward composition
+(SharedTrainer.py:104-132: stft -> norm (in-place X /= XrMM quirk) -> arch
+-> to_CC -> inorm -> istft) built from the ACTUAL reference torch modules
+(models/io/stft.py, models/io/norm.py, models/arch/*), with random torch
+weights exported and transplanted into nbss_tpu — then compared against
+``nbss_tpu.train.module.TrainModule.forward`` on separated waveforms and on
+the uPIT loss value. Per-component parity tests can miss composition errors
+(norm-paras dataflow, to_CC path, istft length handling); this test cannot.
+
+The reference's Lightning/torchmetrics imports are not installed in this
+image, so the 25-line forward composition is mirrored here in torch, line
+by line against SharedTrainer.py:104-132 (cited per step below), and the
+uPIT neg_si_sdr loss (loss.py:21-29,111) is computed by an independent
+numpy implementation applied to BOTH sides.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+HAS_REF = os.path.isdir("/root/reference")
+
+FS = 8000
+
+
+def _ref_modules():
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.io.norm import Norm as TorchNorm
+        from models.io.stft import STFT as TorchSTFT
+
+        return TorchSTFT, TorchNorm
+    finally:
+        sys.path.pop(0)
+
+
+def _reference_forward(torch, stft, norm, arch, x, channels, ref_channel):
+    """torch mirror of SharedTrainer.TrainModule.forward (:104-132),
+    neg_si_sdr case: to_CC is the identity and inorm applies (mask=None)."""
+    with torch.no_grad():
+        X, stft_paras = stft.stft(x[:, channels])                 # :114
+        B, C, F, T = X.shape
+        X, (Xr, XrMM) = norm.norm(X, ref_channel=channels.index(ref_channel))  # :116
+        X = X.permute(0, 2, 3, 1)                                 # :117
+        X = torch.view_as_real(X).reshape(B, F, T, -1)            # :118
+        out = arch(X)                                             # :121
+        out = torch.view_as_complex(out.float().reshape(B, F, T, -1, 2))  # :123
+        out = out.permute(0, 3, 1, 2)                             # :124
+        Yr_hat = norm.inorm(out, (Xr, XrMM))                      # :126-128
+        yr_hat = stft.istft(Yr_hat, stft_paras)                   # :131
+    return yr_hat.numpy()
+
+
+def _np_si_sdr(preds, target, eps=np.finfo(np.float32).eps):
+    """torchmetrics scale_invariant_signal_distortion_ratio (zero_mean=False),
+    independent numpy implementation. preds/target [..., T]."""
+    alpha = ((preds * target).sum(-1, keepdims=True) + eps) / (
+        (target**2).sum(-1, keepdims=True) + eps)
+    proj = alpha * target
+    noise = preds - proj
+    return 10 * np.log10(((proj**2).sum(-1) + eps) / ((noise**2).sum(-1) + eps))
+
+
+def _np_upit_neg_si_sdr(preds, target):
+    """permutation-wise uPIT with eval_func='min' over neg_si_sdr
+    (reference loss.py:111); 2 speakers -> 2 permutations."""
+    assert preds.shape[1] == 2
+    a = -_np_si_sdr(preds, target).mean(-1)                     # identity perm
+    b = -_np_si_sdr(preds[:, ::-1], target).mean(-1)            # swapped
+    return np.minimum(a, b).mean()
+
+
+def _run_chain(rng, torch_arch, jax_arch, params, n_chan, n_spk,
+               norm_kwargs, T=FS, n_fft=256, n_hop=128):
+    import torch
+
+    from nbss_tpu.io import Loss, Norm, STFT
+    from nbss_tpu.train import TrainModule
+
+    TorchSTFT, TorchNorm = _ref_modules()
+    channels = list(range(n_chan))
+
+    x = (rng.standard_normal((2, n_chan, T)) * 0.1).astype(np.float32)
+    ys = (rng.standard_normal((2, n_spk, n_chan, T)) * 0.1).astype(np.float32)
+
+    yr_ref = _reference_forward(
+        torch, TorchSTFT(n_fft=n_fft, n_hop=n_hop), TorchNorm(**norm_kwargs),
+        torch_arch, torch.from_numpy(x), channels, ref_channel=0)
+
+    module = TrainModule(
+        arch=jax_arch, channels=tuple(channels), ref_channel=0,
+        stft=STFT(n_fft=n_fft, n_hop=n_hop), norm=Norm(**norm_kwargs),
+        loss=Loss(name="neg_si_sdr", pit=True))
+    yr_ours, _ = module.forward({"params": params}, jnp.asarray(x))
+    yr_ours = np.asarray(yr_ours)
+
+    assert yr_ours.shape == yr_ref.shape
+    np.testing.assert_allclose(yr_ours, yr_ref, atol=1e-3)
+
+    # uPIT loss value: our Loss on our waveforms vs independent numpy uPIT
+    # on the reference waveforms
+    yr = ys[:, :, 0, :]
+    loss_ref = _np_upit_neg_si_sdr(yr_ref, yr)
+    loss_ours = float(module.training_step(
+        {"params": params}, (jnp.asarray(x), jnp.asarray(ys))))
+    assert abs(loss_ours - loss_ref) < 1e-3, (loss_ours, loss_ref)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+def test_fullchain_spatialnet(rng):
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.arch.SpatialNet import SpatialNet as TorchSpatialNet
+    finally:
+        sys.path.pop(0)
+    from nbss_tpu.models import SpatialNet
+    from nbss_tpu.utils.torch_compat import spatialnet_params_from_torch
+
+    n_chan, n_spk, F = 6, 2, 129
+    kw = dict(dim_input=2 * n_chan, dim_output=2 * n_spk, num_layers=2,
+              dim_hidden=32, dim_ffn=64, kernel_size=(5, 3), conv_groups=(8, 8),
+              dim_squeeze=8, num_freqs=F, full_share=0, num_heads=4)
+    torch.manual_seed(0)
+    tm = TorchSpatialNet(**{**kw, "norms": ["LN", "LN", "GN", "LN", "LN", "LN"]}).eval()
+    params = spatialnet_params_from_torch(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, num_layers=2)
+    jm = SpatialNet(**{**kw, "norms": ("LN", "LN", "GN", "LN", "LN", "LN")})
+    # flagship norm config: configs/SpatialNet.yaml:40-43 (mode=frequency,
+    # reference Norm defaults online=True)
+    _run_chain(rng, tm, jm, params, n_chan, n_spk,
+               norm_kwargs=dict(mode="frequency", online=True))
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+def test_fullchain_online_spatialnet_mhsa(rng):
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        import models.arch.OnlineSpatialNet as ref_mod
+
+        if ref_mod.Mamba is None:  # mamba-ssm absent: isinstance(None) breaks
+            ref_mod.Mamba = type("MambaStub", (), {})
+        TorchOnline = ref_mod.OnlineSpatialNet
+    finally:
+        sys.path.pop(0)
+    from nbss_tpu.models import OnlineSpatialNet
+    from nbss_tpu.utils.torch_compat import online_spatialnet_params_from_torch
+
+    # NOTE scope 64 >= T=63 frames so local==plain-causal: torch 2.13's
+    # SDPA fast path DISCARDS the reference's local-scope mask whenever
+    # is_causal=True is also passed (OnlineSpatialNet.py:191), i.e. the
+    # reference actually trains mhsa(N) with unbounded causal attention.
+    # nbss_tpu implements the specified bounded scope (needed for the O(1)
+    # KV-ring-buffer streaming path), so parity only holds where the two
+    # semantics coincide.
+    n_chan, n_spk, F = 6, 2, 129
+    kw = dict(dim_input=2 * n_chan, dim_output=2 * n_spk, num_layers=2,
+              dim_hidden=32, dim_ffn=64, dim_squeeze=8, num_freqs=F,
+              num_heads=2, full_share=0, attention="mhsa(64)")
+    torch.manual_seed(0)
+    tm = TorchOnline(**{**kw, "norms": ["LN", "LN", "GN", "LN", "LN", "LN"]}).eval()
+    params = online_spatialnet_params_from_torch(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, num_layers=2)
+    jm = OnlineSpatialNet(**{**kw, "norms": ("LN", "LN", "GN", "LN", "LN", "LN")})
+    # flagship online norm config: configs/onlineSpatialNet.yaml:43-47
+    _run_chain(rng, tm, jm, params, n_chan, n_spk,
+               norm_kwargs=dict(mode="utterance", online=True))
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+def test_fullchain_nbc2(rng):
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.arch.NBC2 import NBC2 as TorchNBC2
+    finally:
+        sys.path.pop(0)
+    from nbss_tpu.models import NBC2
+    from nbss_tpu.utils.torch_compat import nbc2_params_from_torch
+
+    n_chan, n_spk, F = 2, 2, 129
+    torch.manual_seed(0)
+    tm = TorchNBC2(
+        dim_input=2 * n_chan, dim_output=2 * n_spk, n_layers=2, dim_hidden=32,
+        dim_ffn=64, num_freqs=F,
+        block_kwargs={
+            "n_heads": 2, "dropout": 0, "conv_kernel_size": 3, "n_conv_groups": 8,
+            "norms": ("LN", "GBN", "GBN"),
+            "group_batch_norm_kwargs": {"share_along_sequence_dim": False},
+        }).eval()
+    params = nbc2_params_from_torch(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, 2)
+    jm = NBC2(dim_input=2 * n_chan, dim_output=2 * n_spk, n_layers=2,
+              dim_hidden=32, dim_ffn=64, num_freqs=F, n_heads=2)
+    _run_chain(rng, tm, jm, params, n_chan, n_spk,
+               norm_kwargs=dict(mode="frequency", online=False))
