@@ -6,28 +6,82 @@ the reference's headline config (configs/SpatialNet.yaml + BASELINE.md) —
 and reports audio-seconds processed per wall-clock second per chip
 (= real-time factor x batch).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / BASELINE_AUDIO_SEC_PER_SEC where the baseline
 anchor is 5x real time x batch 16 — a conservative stand-in for the A100
 real-time-factor target in BASELINE.json (the reference publishes no
 measured throughput; see BASELINE.md).
+
+Robustness (the round-2 official bench timed out with nothing printed):
+
+- All progress goes to stderr with elapsed timestamps, so a timeout still
+  leaves evidence of how far the run got.
+- Stage 1 times the XLA-attention path (fast, cache-independent compile)
+  and records it as the best-so-far result; stage 2 swaps in the Pallas
+  narrow-band attention kernel (the fast path, but its Mosaic compile can
+  cost minutes on a cold cache) and upgrades the result if it wins.
+- A watchdog thread prints the best-so-far JSON and exits 0 at
+  NBSS_BENCH_BUDGET_S seconds (default 480) — a daemon-thread timer is not
+  blocked by a native compile call the way a signal handler would be.
+  SIGTERM gets the same best-effort print.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
+import threading
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 # BASELINE.json north star: ">=5x A100 real-time-factor ... on a single v5e
 # chip". Anchor: 5 x realtime per stream over a batch of 16 streams.
 BASELINE_AUDIO_SEC_PER_SEC = 5.0 * 16
 
+BUDGET_S = float(os.environ.get("NBSS_BENCH_BUDGET_S", "480"))
+
+_T0 = time.monotonic()
+_best = {"value": None}
+_printed = threading.Lock()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit_and_exit(code: int = 0) -> None:
+    """Print the best-so-far JSON line exactly once and hard-exit."""
+    if not _printed.acquire(blocking=False):
+        return
+    v = _best["value"]
+    if v is not None:
+        print(json.dumps({
+            "metric": "spatialnet_small_6ch_separation_throughput",
+            "value": round(v, 2),
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": round(v / BASELINE_AUDIO_SEC_PER_SEC, 3),
+        }), flush=True)
+    else:
+        _log("no result measured before exit")
+    os._exit(code if v is not None else 1)
+
+
+def _watchdog() -> None:
+    time.sleep(max(0.0, BUDGET_S - (time.monotonic() - _T0)))
+    _log(f"budget {BUDGET_S:.0f}s exhausted; emitting best-so-far")
+    _emit_and_exit(0)
+
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    signal.signal(signal.SIGTERM, lambda *_: _emit_and_exit(0))
+
+    _log("importing jax + nbss_tpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from nbss_tpu.io import Loss, Norm, STFT
     from nbss_tpu.models import SpatialNet
     from nbss_tpu.train import TrainModule
@@ -35,56 +89,74 @@ def main():
     fs, secs, B, C, spk = 8000, 4.0, 16, 6, 2
     T = int(fs * secs)
 
-    arch = SpatialNet(
-        dim_input=2 * C, dim_output=2 * spk, num_layers=8, dim_hidden=96,
-        dim_ffn=192, num_heads=4, kernel_size=(5, 3), conv_groups=(8, 8),
-        norms=("LN", "LN", "GN", "LN", "LN", "LN"), dim_squeeze=8,
-        num_freqs=129, full_share=0, dtype=jnp.bfloat16,
-    )
-    module = TrainModule(
-        arch=arch, channels=tuple(range(C)), ref_channel=0,
-        stft=STFT(n_fft=256, n_hop=128),
-        norm=Norm(mode="frequency", online=True),
-        loss=Loss(name="neg_si_sdr", pit=True),
-    )
+    def build(fused_attn_env):
+        os.environ["NBSS_ATTN"] = fused_attn_env
+        arch = SpatialNet(
+            dim_input=2 * C, dim_output=2 * spk, num_layers=8, dim_hidden=96,
+            dim_ffn=192, num_heads=4, kernel_size=(5, 3), conv_groups=(8, 8),
+            norms=("LN", "LN", "GN", "LN", "LN", "LN"), dim_squeeze=8,
+            num_freqs=129, full_share=0, dtype=jnp.bfloat16,
+        )
+        module = TrainModule(
+            arch=arch, channels=tuple(range(C)), ref_channel=0,
+            stft=STFT(n_fft=256, n_hop=128),
+            norm=Norm(mode="frequency", online=True),
+            loss=Loss(name="neg_si_sdr", pit=True),
+        )
+
+        # The whole timed region runs on device inside one jitted fori_loop —
+        # each iteration depends on the previous one's output (prevents DCE /
+        # overlap) and the single scalar fetch at the end is the only host
+        # sync. (On the tunneled axon backend block_until_ready returns
+        # before remote execution finishes; fetching a value is the only
+        # reliable sync.) Params/inputs are jit ARGUMENTS: a zero-arg closure
+        # would embed them as HLO constants that this backend re-materializes
+        # per call (measured 6.4x inflation, BENCH_NOTES.md).
+        @jax.jit
+        def bench_fn(params, x, n):
+            def body(i, carry):
+                yr_hat, _ = module.forward(params, x + carry * 1e-9)
+                return jnp.mean(yr_hat)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return arch, bench_fn
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, C, T)), jnp.float32)
-
     Xin = jnp.zeros((1, 129, 251, 2 * C), jnp.float32)
-    params = arch.init(jax.random.PRNGKey(0), Xin)
 
-    # The whole timed region runs on device inside one jitted fori_loop —
-    # each iteration depends on the previous one's output (prevents DCE /
-    # overlap) and the single scalar fetch at the end is the only host sync.
-    # (On the tunneled axon backend block_until_ready returns before remote
-    # execution finishes; fetching a value is the only reliable sync.)
-    @jax.jit
-    def bench_fn(params, x, n):
-        def body(i, carry):
-            yr_hat, _ = module.forward(params, x + carry * 1e-9)
-            return jnp.mean(yr_hat)
+    def run_stage(name, attn_env, reps, iters=20):
+        arch, bench_fn = build(attn_env)
+        params = arch.init(jax.random.PRNGKey(0), Xin)
+        _log(f"stage {name}: warmup/compile started")
+        t0 = time.monotonic()
+        float(bench_fn(params, x, 2))  # compile + warmup, synced by the fetch
+        _log(f"stage {name}: compile+warmup done in {time.monotonic() - t0:.1f}s")
+        # best-of-N timed loops: the tunneled chip's effective rate varies
+        # +-8% run to run; min is the honest hardware capability
+        dt = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(bench_fn(params, x, iters))
+            dt = min(dt, (time.perf_counter() - t0) / iters)
+        v = B * secs / dt
+        _log(f"stage {name}: {v:.1f} audio-sec/s ({dt * 1e3:.1f} ms/batch)")
+        return v
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    # Stage 1: XLA attention — cheap compile, guaranteed fallback value.
+    v_xla = run_stage("xla-attention", "xla", reps=1, iters=10)
+    _best["value"] = v_xla
 
-    float(bench_fn(params, x, 2))  # compile + warmup, synced by the fetch
+    # Stage 2: Pallas narrow-band attention — the fast path. Mosaic compile
+    # can cost minutes cold; the watchdog covers a pathological compile.
+    try:
+        v_pallas = run_stage("pallas-attention", "pallas", reps=3)
+        _best["value"] = max(_best["value"], v_pallas)
+    except Exception as e:  # fall back to the XLA number, don't die empty
+        _log(f"pallas stage failed: {type(e).__name__}: {e}")
 
-    # best-of-3 timed loops: the tunneled chip's effective rate varies
-    # +-8% run to run; min is the honest hardware capability
-    iters = 20
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(bench_fn(params, x, iters))
-        dt = min(dt, (time.perf_counter() - t0) / iters)
-
-    audio_sec_per_sec = B * secs / dt
-    print(json.dumps({
-        "metric": "spatialnet_small_6ch_separation_throughput",
-        "value": round(audio_sec_per_sec, 2),
-        "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(audio_sec_per_sec / BASELINE_AUDIO_SEC_PER_SEC, 3),
-    }))
+    _emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ the reference.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -58,6 +59,53 @@ class Dense(nn.Module):
         )(x)
 
 
+class _ConvCore(nn.Module):
+    """nn.Conv-compatible core ('kernel'/'bias' param names and shapes) whose
+    apply keeps one extra leading dim as a kernel-size-1 spatial dim.
+
+    Rationale: flax nn.Conv merges all leading dims into the conv batch dim;
+    when two DIFFERENTLY-SHARDED dims (e.g. batch on 'data', frequency on
+    'freq') are merged, XLA's SPMD partitioner mis-scales grouped-conv
+    (feature_group_count > 1) kernel gradients by the second mesh-axis size
+    (observed exactly 2x on a (data, freq) mesh; regression test
+    tests/test_train.py::test_mesh_1d_vs_2d_equivalence). Treating the extra
+    dim as an NHWC spatial dim with kernel 1 keeps the gradient partitioning
+    exact and is the same conv for XLA otherwise."""
+
+    features: int
+    kernel_size: int
+    groups: int
+    stride: int
+    use_bias: bool
+    dtype: Optional[Dtype]
+    param_dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x, pad):
+        k = self.kernel_size
+        in_g = x.shape[-1] // self.groups
+        fan_in = in_g * k
+        w = self.param("kernel", torch_kernel_init, (k, in_g, self.features),
+                       self.param_dtype)
+        dt = self.dtype or x.dtype
+        x, w = x.astype(dt), w.astype(dt)
+        if x.ndim == 4:
+            y = jax.lax.conv_general_dilated(
+                x, w[None], (1, self.stride), [(0, 0), pad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w, (self.stride,), [pad],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=self.groups)
+        if self.use_bias:
+            b = self.param("bias", torch_bias_init(fan_in), (self.features,),
+                           self.param_dtype)
+            y = y + b.astype(dt)
+        return y
+
+
 class Conv1d(nn.Module):
     """1-D conv on [..., W, C] (NWC). groups = feature_group_count.
 
@@ -75,27 +123,25 @@ class Conv1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fan_in = (x.shape[-1] // self.groups) * self.kernel_size
+        k = self.kernel_size
         if self.padding == "causal":
-            pad = [(self.kernel_size - 1, 0)]
+            pad = (k - 1, 0)
         elif isinstance(self.padding, tuple):
-            pad = [self.padding]
-        else:
-            pad = self.padding.upper()
+            pad = self.padding
+        elif self.padding.lower() == "valid":
+            pad = (0, 0)
+        else:  # 'same' (stride-1 semantics, matches XLA SAME / torch 'same')
+            assert self.padding.lower() == "same" and self.stride == 1, self.padding
+            pad = ((k - 1) // 2, k - 1 - (k - 1) // 2)
         lead = x.shape[:-2]
-        x = x.reshape((-1,) + x.shape[-2:])
-        y = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel_size,),
-            strides=(self.stride,),
-            padding=pad,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(fan_in),
-        )(x)
+        # keep at most one extra leading dim as a spatial dim (see _ConvCore);
+        # collapse anything beyond to 4-D
+        if x.ndim > 4:
+            x = x.reshape((-1,) + x.shape[-3:])
+        core = _ConvCore(self.features, k, self.groups, self.stride,
+                         self.use_bias, self.dtype, self.param_dtype,
+                         name="Conv_0")
+        y = core(x, pad)
         return y.reshape(lead + y.shape[-2:])
 
 
@@ -334,7 +380,16 @@ class MultiheadAttention(nn.Module):
 
         fused = self.fused
         if fused is None:
-            fused = jax.default_backend() == "tpu"
+            # NBSS_ATTN=xla|pallas overrides the backend auto-pick (read at
+            # trace time). bench.py uses it to stage a fast-compiling XLA
+            # fallback before attempting the Mosaic kernel compile.
+            env = os.environ.get("NBSS_ATTN", "").lower()
+            if env in ("xla", "0"):
+                fused = False
+            elif env in ("pallas", "1"):
+                fused = True
+            else:
+                fused = jax.default_backend() == "tpu"
         if attn_mask is not None and attn_mask.ndim > 3:
             fused = False  # per-item masks not supported by the kernel
 

@@ -22,6 +22,7 @@ Design differences from the torch implementation (behavior-equivalent):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -52,6 +53,7 @@ class SpatialNetLayer(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     fused_ffn: Optional[bool] = None  # None = auto (TPU backend only)
+    fused_block: Optional[bool] = None  # None = NBSS_FUSED_BLOCK env
 
     def setup(self):
         H, FF = self.dim_hidden, self.dim_ffn
@@ -99,9 +101,39 @@ class SpatialNetLayer(nn.Module):
         xt = xt + self._full(xt, full, deterministic)
         xt = xt + self._fconv(self.fconv2_norm, self.fconv2_conv, self.fconv2_act, xt)
         x = jnp.swapaxes(xt, 1, 2)  # [B, F, T, H]
-        x = x + self.dropout_mhsa(self._tsa(x, att_mask), deterministic=deterministic)
+        if self._use_fused_block(att_mask, deterministic):
+            x = self._fused_tsa_block(x)
+        else:
+            x = x + self.dropout_mhsa(self._tsa(x, att_mask), deterministic=deterministic)
         x = x + self.dropout_tconvffn(self._tconvffn(x), deterministic=deterministic)
         return x
+
+    def _use_fused_block(self, att_mask, deterministic) -> bool:
+        """Whether to run the narrow-band block through the Pallas megakernel
+        (ops.attention_block): LN + folded qkv/out projections + attention +
+        residual in one kernel. Requires the default LN pre-norm, no mask and
+        inactive attention dropout."""
+        fused = self.fused_block
+        if fused is None:
+            fused = os.environ.get("NBSS_FUSED_BLOCK", "") == "1"
+        return (fused and not self.is_initializing()
+                and att_mask is None and self.norms[0].upper() == "LN"
+                and (deterministic or self.dropout[0] == 0))
+
+    def _fused_tsa_block(self, x):
+        from nbss_tpu.ops.attention_block import attention_block, fold_weights
+
+        B, F, T, H = x.shape
+        v = lambda m: m.variables["params"]
+        ln, A, Wvo, c, eps = fold_weights(
+            v(self.norm_mhsa)["scale"], v(self.norm_mhsa)["bias"],
+            v(self.mhsa)["in_proj"]["Dense_0"]["kernel"],
+            v(self.mhsa)["in_proj"]["Dense_0"]["bias"],
+            v(self.mhsa)["out_proj"]["Dense_0"]["kernel"],
+            v(self.mhsa)["out_proj"]["Dense_0"]["bias"], self.num_heads)
+        y = attention_block(x.reshape(B * F, T, H), ln, A, Wvo, c, eps,
+                            self.num_heads)
+        return y.reshape(B, F, T, H)
 
     def _fconv(self, norm, conv, act, xt):
         """Frequency-convolutional module (SpatialNet.py:116-127): LN over H,
@@ -195,6 +227,7 @@ class SpatialNet(nn.Module):
     param_dtype: Dtype = jnp.float32
     remat: bool = False
     fused_ffn: Optional[bool] = None  # None = auto (TPU backend only)
+    fused_block: Optional[bool] = None  # None = NBSS_FUSED_BLOCK env
 
     def setup(self):
         self.encoder = Conv1d(self.dim_hidden, self.encoder_kernel_size,
@@ -214,6 +247,7 @@ class SpatialNet(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 fused_ffn=self.fused_ffn,
+                fused_block=self.fused_block,
                 name=f"layer_{l}",
             )
             for l in range(self.num_layers)

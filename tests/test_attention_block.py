@@ -1,0 +1,92 @@
+"""Fused attention-block megakernel (ops/attention_block.py) parity.
+
+The folded-weight math (A = Wq Wk^T scale, Wvo = Wv Wo, bias collapse) must
+reproduce the unfused module composition x + out_proj(MHSA(LN(x))) exactly
+(fp32, CPU interpret mode), both through the kernel and through the XLA
+reference used by the backward.
+"""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbss_tpu.models.spatialnet import SpatialNet
+from nbss_tpu.ops.attention_block import (
+    _reference,
+    attention_block,
+    fold_weights,
+)
+
+
+def _spatialnet_pair(rng, B=2, F=5, T=33, H=24, nh=4, num_layers=2):
+    kw = dict(dim_input=6, dim_output=4, num_layers=num_layers, dim_hidden=H,
+              dim_ffn=2 * H, num_heads=nh, kernel_size=(5, 3),
+              conv_groups=(4, 4), dim_squeeze=4, num_freqs=F, full_share=0)
+    x = jnp.asarray(rng.standard_normal((B, F, T, 6)), jnp.float32)
+    m_ref = SpatialNet(**kw, fused_block=False)
+    params = m_ref.init(jax.random.PRNGKey(3), x)
+    m_fused = SpatialNet(**kw, fused_block=True)
+    return m_ref, m_fused, params, x
+
+
+def test_block_matches_module_composition(rng):
+    """Kernel (interpret) vs the unfused LN->MHSA->out_proj->residual path
+    inside the full SpatialNet forward."""
+    m_ref, m_fused, params, x = _spatialnet_pair(rng)
+    y_ref = m_ref.apply(params, x)
+    y_fused = m_fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_reference_matches_kernel(rng):
+    """The XLA reference composition used by the custom_vjp backward equals
+    the kernel forward."""
+    M, T, H, nh = 6, 40, 16, 2
+    x = jnp.asarray(rng.standard_normal((M, T, H)), jnp.float32)
+    w_in = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.2, jnp.float32)
+    b_in = jnp.asarray(rng.standard_normal((3 * H,)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((H, H)) * 0.2, jnp.float32)
+    b_out = jnp.asarray(rng.standard_normal((H,)) * 0.1, jnp.float32)
+    ln_s = jnp.asarray(1 + 0.1 * rng.standard_normal((H,)), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.standard_normal((H,)), jnp.float32)
+    ln, A, Wvo, c, eps = fold_weights(ln_s, ln_b, w_in, b_in, w_out, b_out, nh)
+    y_k = attention_block(x, ln, A, Wvo, c, eps, nh)
+    y_r = _reference(x, ln, A, Wvo, c, eps, nh)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_block_gradients(rng):
+    """custom_vjp backward (XLA recompute) vs finite differences through the
+    fused model."""
+    m_ref, m_fused, params, x = _spatialnet_pair(rng, B=1, F=3, T=17,
+                                                 num_layers=1)
+
+    def loss_fused(p):
+        return jnp.sum(m_fused.apply(p, x) ** 2)
+
+    def loss_ref(p):
+        return jnp.sum(m_ref.apply(p, x) ** 2)
+
+    g_fused = jax.grad(loss_fused)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fused)
+    flat_r, _ = jax.flatten_util.ravel_pytree(g_ref)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_fused_flag_plumbing(rng, monkeypatch):
+    """NBSS_FUSED_BLOCK env enables the kernel when fused_block is None."""
+    m_ref, _, params, x = _spatialnet_pair(rng, num_layers=1)
+    kw = {f.name: getattr(m_ref, f.name)
+          for f in m_ref.__dataclass_fields__.values() if f.name != "parent"}
+    kw["fused_block"] = None
+    monkeypatch.setenv("NBSS_FUSED_BLOCK", "1")
+    y_env = SpatialNet(**kw).apply(params, x)
+    y_ref = m_ref.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_env), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-4)

@@ -263,3 +263,51 @@ def test_profiler_capture(ds, cpu_devices, tmp_path):
     trainer.fit(loader, max_epochs=1, steps_per_epoch=4)
     found = [f for _, _, fs in os.walk(tmp_path / "prof") for f in fs]
     assert found, "no profiler trace files written"
+
+
+def test_mesh_1d_vs_2d_equivalence(ds, cpu_devices):
+    """A (data,) mesh and a (data, freq) mesh must produce the same loss and
+    gradients for the same global batch (the freq axis only re-shards
+    activations; GSPMD collectives must not change the math). VERDICT r2
+    item 8."""
+    import dataclasses
+
+    from nbss_tpu.parallel.mesh import replicate, shard_batch
+
+    module = tiny_module()
+    xs, yss = [], []
+    for i in range(8):
+        x, ys, _ = ds[(i, i)]
+        xs.append(x)
+        yss.append(ys)
+    batch = (jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(yss)))
+
+    params0 = None
+    results = {}
+    for name, mesh in {
+        "1d": make_mesh(8),
+        "2d": make_mesh(8, axes=("data", "freq"), shape=(4, 2)),
+    }.items():
+        mod = module
+        if "freq" in mesh.axis_names:
+            mod = dataclasses.replace(mod, freq_axis="freq")
+        if params0 is None:
+            x0, _, _ = ds[(0, 0)]
+            X, _ = mod.stft.stft(jnp.asarray(x0[None, : len(mod.channels)]))
+            B, C, F, T = X.shape
+            params0 = mod.arch.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((B, F, T, 2 * C), jnp.float32))
+        p = replicate(mesh, params0)
+        sb = shard_batch(mesh, batch)
+        with jax.sharding.set_mesh(mesh):
+            loss, grads = jax.jit(jax.value_and_grad(
+                lambda q: mod.training_step(q, sb)))(p)
+        results[name] = (float(loss), jax.tree.map(np.asarray, grads))
+
+    l1, g1 = results["1d"]
+    l2, g2 = results["2d"]
+    assert abs(l1 - l2) < 1e-5 * max(1.0, abs(l1)), (l1, l2)
+    flat1 = jax.tree.leaves(g1)
+    flat2 = jax.tree.leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
