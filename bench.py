@@ -89,13 +89,14 @@ def main():
     fs, secs, B, C, spk = 8000, 4.0, 16, 6, 2
     T = int(fs * secs)
 
-    def build(fused_attn_env):
+    def build(fused_attn_env, fused_block=False):
         os.environ["NBSS_ATTN"] = fused_attn_env
         arch = SpatialNet(
             dim_input=2 * C, dim_output=2 * spk, num_layers=8, dim_hidden=96,
             dim_ffn=192, num_heads=4, kernel_size=(5, 3), conv_groups=(8, 8),
             norms=("LN", "LN", "GN", "LN", "LN", "LN"), dim_squeeze=8,
             num_freqs=129, full_share=0, dtype=jnp.bfloat16,
+            fused_block=fused_block,
         )
         module = TrainModule(
             arch=arch, channels=tuple(range(C)), ref_channel=0,
@@ -126,8 +127,8 @@ def main():
     x = jnp.asarray(rng.standard_normal((B, C, T)), jnp.float32)
     Xin = jnp.zeros((1, 129, 251, 2 * C), jnp.float32)
 
-    def run_stage(name, attn_env, reps, iters=20):
-        arch, bench_fn = build(attn_env)
+    def run_stage(name, attn_env, reps, iters=20, fused_block=False):
+        arch, bench_fn = build(attn_env, fused_block)
         params = arch.init(jax.random.PRNGKey(0), Xin)
         _log(f"stage {name}: warmup/compile started")
         t0 = time.monotonic()
@@ -155,6 +156,14 @@ def main():
         _best["value"] = max(_best["value"], v_pallas)
     except Exception as e:  # fall back to the XLA number, don't die empty
         _log(f"pallas stage failed: {type(e).__name__}: {e}")
+
+    # Stage 3: fused attention-BLOCK megakernel (LN + folded projections +
+    # attention + residual in one Pallas pass, ops/attention_block.py).
+    try:
+        v_block = run_stage("fused-block", "xla", reps=3, fused_block=True)
+        _best["value"] = max(_best["value"], v_block)
+    except Exception as e:
+        _log(f"fused-block stage failed: {type(e).__name__}: {e}")
 
     _emit_and_exit(0)
 

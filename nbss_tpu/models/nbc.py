@@ -189,6 +189,40 @@ class NBCBlock(nn.Module):
     conv_mid_norm: Optional[str] = "GN"
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    fused_block: Optional[bool] = None  # None = NBSS_FUSED_BLOCK env
+
+    def _use_fused_block(self, att_mask, deterministic) -> bool:
+        """Whether to run x + self_attn(norm1(x)) through the rel-pos Pallas
+        megakernel (ops.attention_block.attention_block_relpos): pre-LN +
+        folded q/k/v/out projections + trig-factorized Transformer-XL
+        position scores + residual in one kernel pass. Requires norm_first,
+        no mask, inactive dropout."""
+        import os
+
+        fused = self.fused_block
+        if fused is None:
+            fused = os.environ.get("NBSS_FUSED_BLOCK", "") == "1"
+        return (fused and not self.is_initializing() and self.norm_first
+                and att_mask is None and (deterministic or self.dropout == 0))
+
+    def _fused_sa_block(self, x):
+        from nbss_tpu.ops.attention_block import (attention_block_relpos,
+                                                  fold_weights_nbc)
+
+        M, T, H = x.shape
+        p = self.variables["params"]
+        sa = p["self_attn"]
+        d = lambda m: (sa[m]["Dense_0"]["kernel"], sa[m]["Dense_0"]["bias"])
+        (wq, bq), (wk, bk), (wv, bv), (wo, bo) = (
+            d("query_proj"), d("key_proj"), d("value_proj"), d("out_proj"))
+        ln, A, Gs, Gc, Wvo, c, eps = fold_weights_nbc(
+            p["norm1"]["scale"], p["norm1"]["bias"], wq, bq, wk, bk, wv, bv,
+            wo, bo, sa["pos_proj"]["Dense_0"]["kernel"], sa["u_bias"],
+            sa["v_bias"], self.num_head)
+        sin_np, cos_np = sincos_position_tables(T, self.dim_model)
+        return attention_block_relpos(
+            x, ln, A, Gs, Gc, Wvo, c, jnp.asarray(sin_np), jnp.asarray(cos_np),
+            eps, self.num_head)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, att_mask=None):
@@ -225,7 +259,10 @@ class NBCBlock(nn.Module):
             return nn.Dropout(self.dropout)(z, deterministic=deterministic)
 
         if self.norm_first:
-            x = x + sa(norm1(x))
+            if self._use_fused_block(att_mask, deterministic):
+                x = self._fused_sa_block(x)
+            else:
+                x = x + sa(norm1(x))
             x = x + ff(norm2(x))
         else:
             x = norm1(x + sa(x))
@@ -252,6 +289,7 @@ class NBC(nn.Module):
     dropout: float = 0.1
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    fused_block: Optional[bool] = None  # None = NBSS_FUSED_BLOCK env
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, att_mask=None):
@@ -269,7 +307,8 @@ class NBC(nn.Module):
                 conv_kernel_size=self.inner_conv_kernel_size,
                 conv_bias=self.inner_conv_bias, n_conv_layers=self.inner_conv_layers,
                 conv_mid_norm=self.inner_conv_mid_norm, dtype=dt,
-                param_dtype=self.param_dtype, name=f"block_{l}",
+                param_dtype=self.param_dtype, fused_block=self.fused_block,
+                name=f"block_{l}",
             )(x, deterministic, att_mask)
         # transposed conv restores T (reference NBC.py:280)
         y = ConvTranspose1d(self.dim_output, self.encoder_kernel_size, dtype=dt,

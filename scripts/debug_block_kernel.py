@@ -122,6 +122,42 @@ def k6(x_ref, ln_ref, a_ref, w_ref, o_ref):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
+def k7(x_ref, ln_ref, a_ref, w_ref, o_ref):
+    """k5 + the t_valid pad-mask add."""
+    dt = x_ref.dtype
+    f32 = jnp.float32
+    xln = _ln(x_ref, ln_ref)
+    xa = jnp.concatenate([xln, jnp.ones((mb, Tp, 1), f32)], axis=2).astype(dt)
+    Ha = xa.shape[-1]
+    xa2 = xa.reshape(mb * Tp, Ha)
+    col = jax.lax.broadcasted_iota(jnp.int32, (mb, Tp, Tp), 2)
+    pad_mask = jnp.where(col < 251, 0.0, NEG_INF).astype(f32)
+    acc = None
+    for h in range(nh):
+        t = jax.lax.dot_general(xa2, a_ref[h].astype(dt),
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=f32).astype(dt).reshape(mb, Tp, Ha)
+        s = jax.lax.dot_general(t, xa, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=f32)
+        s = s + pad_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m).astype(dt)
+        vo = jax.lax.dot_general(xa2, w_ref[h].astype(dt),
+                                 dimension_numbers=(((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32).astype(dt).reshape(mb, Tp, Ha)
+        pv = jax.lax.dot_general(e, vo, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        o_h = pv[:, :, :H] / pv[:, :, H:H + 1]
+        acc = o_h if acc is None else acc + o_h
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def k8(x_ref, ln_ref, a_ref, w_ref, c_ref, o_ref):
+    """k5 + c bias [1, H] + residual."""
+    acc = _heads(x_ref, ln_ref, a_ref, w_ref, divide=True)
+    o_ref[...] = (acc + c_ref[0] + x_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def main():
     variant = sys.argv[1]
     Ha = 128 if variant == "k6" else H + 1
@@ -134,8 +170,11 @@ def main():
     xspec = pl.BlockSpec((mb, Tp, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
-    kern = {"k1": k1, "k2": k2, "k3": k3, "k4": k4, "k5": k5, "k6": k6}[variant]
-    ops = {"k1": (x, ln), "k2": (x, ln), "k3": (x, ln, A)}.get(variant, (x, ln, A, W))
+    kern = {"k1": k1, "k2": k2, "k3": k3, "k4": k4, "k5": k5, "k6": k6,
+            "k7": k7, "k8": k8}[variant]
+    c = jnp.asarray(np.zeros((1, H)), jnp.float32)
+    ops = {"k1": (x, ln), "k2": (x, ln), "k3": (x, ln, A),
+           "k8": (x, ln, A, W, c)}.get(variant, (x, ln, A, W))
     out = pl.pallas_call(
         kern,
         grid=(M // mb,),

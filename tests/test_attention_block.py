@@ -90,3 +90,77 @@ def test_fused_flag_plumbing(rng, monkeypatch):
     y_ref = m_ref.apply(params, x)
     np.testing.assert_allclose(np.asarray(y_env), np.asarray(y_ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_backward_matches_reference_vjp(rng):
+    """The hand-written Pallas backward equals jax.vjp through the XLA
+    reference composition for every cotangent (x, ln, A, Wvo, c)."""
+    from nbss_tpu.ops.attention_block import _fused_block_bwd
+
+    M, T, H, nh = 5, 37, 16, 2
+    x = jnp.asarray(rng.standard_normal((M, T, H)), jnp.float32)
+    w_in = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.2, jnp.float32)
+    b_in = jnp.asarray(rng.standard_normal((3 * H,)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((H, H)) * 0.2, jnp.float32)
+    b_out = jnp.asarray(rng.standard_normal((H,)) * 0.1, jnp.float32)
+    ln_s = jnp.asarray(1 + 0.1 * rng.standard_normal((H,)), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.standard_normal((H,)), jnp.float32)
+    ln, A, Wvo, c, eps = fold_weights(ln_s, ln_b, w_in, b_in, w_out, b_out, nh)
+    g = jnp.asarray(rng.standard_normal((M, T, H)), jnp.float32)
+
+    dx, dln, dA, dWvo, dc = _fused_block_bwd(x, ln, A, Wvo, g, eps, nh, 8)
+    _, vjp = jax.vjp(lambda *a: _reference(*a, eps, nh), x, ln, A, Wvo, c)
+    rx, rln, rA, rWvo, rc = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dln), np.asarray(rln), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(rc), atol=2e-4, rtol=1e-3)
+    # constant-slot entries ([H, H+1] of A, [H, H] of Wvo, pad row/col) are
+    # discarded by fold_weights' .at[].set vjp — compare only param slots
+    Hh = H
+    np.testing.assert_allclose(np.asarray(dA)[:, :Hh + 1, :Hh],
+                               np.asarray(rA)[:, :Hh + 1, :Hh],
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dWvo)[:, :Hh, :Hh],
+                               np.asarray(rWvo)[:, :Hh, :Hh],
+                               atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# NBC rel-pos variant
+# ---------------------------------------------------------------------------
+
+def _nbc_pair(rng, B=2, F=3, T=29, H=16, nh=2):
+    from nbss_tpu.models.nbc import NBC
+
+    kw = dict(dim_input=6, dim_output=4, n_layers=2, encoder_kernel_size=4,
+              n_heads=nh, hidden_size=H, ffn_size=2 * H, inner_conv_groups=2,
+              inner_conv_layers=1, dropout=0.0)
+    x = jnp.asarray(rng.standard_normal((B, F, T, 6)), jnp.float32)
+    m_ref = NBC(**kw, fused_block=False)
+    params = m_ref.init(jax.random.PRNGKey(5), x)
+    m_fused = NBC(**kw, fused_block=True)
+    return m_ref, m_fused, params, x
+
+
+def test_nbc_relpos_block_matches_module(rng):
+    """attention_block_relpos (kernel, interpret) inside the full NBC forward
+    equals the unfused trig-factorized XLA path."""
+    m_ref, m_fused, params, x = _nbc_pair(rng)
+    y_ref = m_ref.apply(params, x)
+    y_fused = m_fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_nbc_relpos_gradients(rng):
+    """custom_vjp backward (XLA recompute of the folded rel-pos math) vs the
+    unfused module gradients."""
+    m_ref, m_fused, params, x = _nbc_pair(rng, B=1, F=2, T=21)
+
+    g_fused = jax.grad(lambda p: jnp.sum(m_fused.apply(p, x) ** 2))(params)
+    g_ref = jax.grad(lambda p: jnp.sum(m_ref.apply(p, x) ** 2))(params)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fused)
+    flat_r, _ = jax.flatten_util.ravel_pytree(g_ref)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
+                               atol=5e-3, rtol=5e-3)
