@@ -64,6 +64,40 @@ def fft_convolve(x: jnp.ndarray, h: jnp.ndarray, nfft: int) -> jnp.ndarray:
     return jnp.fft.irfft(X * H, n=nfft, axis=-1)
 
 
+def trajectory_windows(T: int, P: int, wintype: str = "trapezium20") -> np.ndarray:
+    """Full-length crossfade windows W [P, T] for a P-point trajectory over a
+    T-sample clip — the device analogue of the host scheme in
+    mixing.convolve_trajectory_windowed (reference mix.py:197-244): window i
+    is the 2*hop crossfade window centered at start i*hop, with hop chosen so
+    the P windows tile [0, T] and adjacent ramps sum to 1 (hop forced even so
+    the trapezium's zero-pads split symmetrically)."""
+    from nbss_tpu.data.mixing import _crossfade_window
+
+    assert P >= 2, P
+    hop = -(-T // (P - 1))
+    hop += hop % 2
+    win = _crossfade_window(hop, wintype)  # [2*hop]
+    W = np.zeros((P, T), np.float32)
+    for i in range(P):
+        lo = i * hop - hop
+        src_lo, src_hi = max(0, -lo), min(2 * hop, T - lo)
+        if src_hi > src_lo:
+            W[i, lo + src_lo:lo + src_hi] = win[src_lo:src_hi]
+    return W
+
+
+def trajectory_convolve(dry: jnp.ndarray, rir: jnp.ndarray, W: jnp.ndarray,
+                        nfft: int) -> jnp.ndarray:
+    """Moving-source spatialization: sum_p conv(dry * W[p], rir[:, p]).
+
+    dry [S, T], rir [S, P, C, L], W [P, T] -> [S, C, nfft]. Identical to the
+    host convolve_trajectory_windowed up to the shared-nfft FFT size (tested
+    against it in tests/test_device_mix.py)."""
+    dry_w = dry[:, None, :] * W[None, :, :]           # [S, P, T]
+    wet_p = fft_convolve(dry_w[:, :, None, :], rir, nfft)  # [S, P, C, nfft]
+    return wet_p.sum(axis=1)
+
+
 def synth_speech(key: jax.Array, T: int, fs: int) -> jnp.ndarray:
     """Speech-like source on device: formant-shaped noise with a syllabic
     envelope and pauses (device analogue of data/synthetic.py:_speechlike).
@@ -156,11 +190,12 @@ def _diffuse_noise(key: jax.Array, C: int, T: int, cs_re: jnp.ndarray,
 def mix_batch(
     key: jax.Array,
     seeds: jnp.ndarray,       # [B] int32 — per-item seeds from the sampler
-    rir: jnp.ndarray,         # [B, S, C, rir_len] float32
-    rir_dp: jnp.ndarray,      # [B, S, C, dp_len]  float32
+    rir: jnp.ndarray,         # [B, S, C, rir_len] float32; moving sources:
+    rir_dp: jnp.ndarray,      # [B, S, P, C, rir_len] with traj_win [P, T]
     cs_re: jnp.ndarray,       # [F, C, C] diffuse mixing matrices (real part)
     cs_im: jnp.ndarray,
     dry: Optional[jnp.ndarray] = None,  # [B, S, T] or None -> synth on device
+    traj_win: Optional[jnp.ndarray] = None,  # [P, T] trajectory crossfades
     *,
     T: int,
     fs: int,
@@ -174,7 +209,7 @@ def mix_batch(
     nfft: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (x [B, C, T], ys [B, S, C, T]); everything on device."""
-    B, S, C, _ = rir.shape
+    B, S, C = rir.shape[0], rir.shape[1], rir.shape[-2]
     if nfft == 0:
         nfft = 1 << (T + rir_len - 1).bit_length()
     types = OVLP_SET[ovlp]
@@ -193,10 +228,16 @@ def mix_batch(
         seg = ((idx >= shifts[:, None]) & (idx < (shifts + lens)[:, None]))
         dry_sig = dry_sig * seg.astype(jnp.float32)
 
-        wet_full = fft_convolve(dry_sig[:, None, :], rir_b, nfft)   # [S, C, nfft]
-        tgt_full = fft_convolve(dry_sig[:, None, :], dp_b, nfft)
-        # align by the reverberant RIR's ref-channel peak (mix.py:112-116)
-        delay = jnp.argmax(rir_b[:, 0, :], axis=-1)  # [S]
+        if traj_win is not None:  # moving sources: [S, P, C, L] RIR stacks
+            wet_full = trajectory_convolve(dry_sig, rir_b, traj_win, nfft)
+            tgt_full = trajectory_convolve(dry_sig, dp_b, traj_win, nfft)
+            # align by the FIRST trajectory point's ref-channel peak
+            delay = jnp.argmax(rir_b[:, 0, 0, :], axis=-1)  # [S]
+        else:
+            wet_full = fft_convolve(dry_sig[:, None, :], rir_b, nfft)  # [S, C, nfft]
+            tgt_full = fft_convolve(dry_sig[:, None, :], dp_b, nfft)
+            # align by the reverberant RIR's ref-channel peak (mix.py:112-116)
+            delay = jnp.argmax(rir_b[:, 0, :], axis=-1)  # [S]
         take = jax.vmap(
             lambda sig, d: jax.lax.dynamic_slice_in_dim(sig, d, T, axis=-1))
         wet = take(wet_full, delay)  # [S, C, T]
@@ -274,16 +315,19 @@ class DeviceRirDataset:
     stacks. All waveform math happens later, on device."""
 
     def __init__(self, rir_dir: str, subdir: str, num_spk: int, rir_len: int,
-                 dp_len: int, num_items: int, shuffle_rir: bool):
+                 dp_len: int, num_items: int, shuffle_rir: bool,
+                 traj_points: int = 0):
         self.rir_dir = Path(rir_dir).expanduser() / subdir
         self.rirs = sorted(str(r) for r in self.rir_dir.rglob("*.npz")
-                           if not r.name.startswith("diffuse"))
+                           if not r.name.startswith("diffuse")
+                           and "_rir_" not in r.name)
         assert self.rirs, f"{self.rir_dir} is empty or missing"
         self.num_spk = num_spk
         self.rir_len = rir_len
         self.dp_len = dp_len
         self.num_items = num_items
         self.shuffle_rir = shuffle_rir
+        self.traj_points = traj_points
 
     def __len__(self):
         return self.num_items
@@ -301,11 +345,28 @@ class DeviceRirDataset:
         path = (self.rirs[rng.integers(0, len(self.rirs))]
                 if self.shuffle_rir else self.rirs[index % len(self.rirs)])
         z = np.load(path, allow_pickle=True)
-        rir = np.asarray(z["rir"], np.float32)
-        rir_dp = np.asarray(z["rir_dp"], np.float32)
-        spk_idx = rng.choice(rir.shape[0], size=self.num_spk, replace=False)
-        rir = self._fit(rir[spk_idx], self.rir_len)
-        rir_dp = self._fit(rir_dp[spk_idx], self.dp_len)
+        if self.traj_points:  # trajectory rooms: per-source .npy RIR stacks
+            names, dp_names = list(z["rir"]), list(z["rir_dp"])
+            spk_idx = rng.choice(len(names), size=self.num_spk, replace=False)
+            root = Path(path).parent
+            rir, rir_dp = [], []
+            for i in spk_idx:
+                r = np.load(root / str(names[i])).astype(np.float32)  # [N, C, L]
+                rdp = np.load(root / str(dp_names[i]),
+                              allow_pickle=True)["arr"].astype(np.float32)
+                sel = np.round(np.linspace(0, r.shape[0] - 1,
+                                           self.traj_points)).astype(int)
+                rir.append(r[sel])
+                rir_dp.append(rdp[np.round(np.linspace(
+                    0, rdp.shape[0] - 1, self.traj_points)).astype(int)])
+            rir = self._fit(np.stack(rir), self.rir_len)
+            rir_dp = self._fit(np.stack(rir_dp), self.dp_len)
+        else:
+            rir = np.asarray(z["rir"], np.float32)
+            rir_dp = np.asarray(z["rir_dp"], np.float32)
+            spk_idx = rng.choice(rir.shape[0], size=self.num_spk, replace=False)
+            rir = self._fit(rir[spk_idx], self.rir_len)
+            rir_dp = self._fit(rir_dp[spk_idx], self.dp_len)
         paras = {"index": index, "seed": int(seed), "rir_file": path,
                  "RT60": float(z["RT60"]),
                  "saveto": [f"{index}_0.wav", f"{index}_1.wav"]}
@@ -334,6 +395,7 @@ class DeviceSyntheticDataModule(DataModule):
     snr: Tuple[float, float] = (0.0, 20.0)
     noise_type: Tuple[str, ...] = ("babble", "white")
     mix_key: int = 0
+    trajectory_points: int = 0  # >0: moving sources (P-point RIR stacks)
 
     _cs_cache: Optional[Tuple[np.ndarray, np.ndarray]] = field(
         default=None, init=False, repr=False, compare=False)
@@ -344,7 +406,8 @@ class DeviceSyntheticDataModule(DataModule):
     def _make_dataset(self, stage_idx: int):
         return DeviceRirDataset(
             self.rir_dir, self._subdir(stage_idx), self.num_spk, self.rir_len,
-            self.dp_len, self.num_items[stage_idx], shuffle_rir=stage_idx == 0)
+            self.dp_len, self.num_items[stage_idx], shuffle_rir=stage_idx == 0,
+            traj_points=self.trajectory_points)
 
     def _cs(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._cs_cache is None:
@@ -381,8 +444,11 @@ class DeviceSyntheticDataModule(DataModule):
             sir_range=tuple(self.sir) if self.sir is not None else None,
             snr_range=tuple(self.snr), noise_types=tuple(self.noise_type))
 
+        W = (jnp.asarray(trajectory_windows(T, self.trajectory_points))
+             if self.trajectory_points else None)
+
         def mix_fn(key, seeds, rir, rir_dp):
-            return mix(key, seeds, rir, rir_dp)
+            return mix(key, seeds, rir, rir_dp, traj_win=W)
 
         # distinct key stream per stage so train/val/test never collide
         return DeviceMixLoader(

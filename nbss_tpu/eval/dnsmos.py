@@ -31,6 +31,38 @@ def _model_dir() -> str:
         "DNSMOS_DIR", os.path.expanduser("~/.cache/nbss_tpu/dnsmos"))
 
 
+_DNS_CHALLENGE_RAW = ("https://raw.githubusercontent.com/microsoft/"
+                      "DNS-Challenge/master/DNSMOS")
+
+
+def _maybe_download(path: str, sub: str, model: str) -> bool:
+    """First-use model download, reference parity (dnsmos.py:41-69). The
+    reference fetches the three ONNX files from microsoft/DNS-Challenge; we
+    do the same via urllib unless NBSS_NO_DOWNLOAD=1 or the fetch fails
+    (e.g. an egress-less environment), in which case the caller raises a
+    FileNotFoundError and metric code degrades the value to None."""
+    if os.environ.get("NBSS_NO_DOWNLOAD"):
+        return False
+    url = f"{_DNS_CHALLENGE_RAW}/{sub}/{model}"
+    if sub == "pDNSMOS" and model == "model_v8.onnx":
+        return False  # not published for the personalized variant
+    try:
+        import urllib.request
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".part"
+        with urllib.request.urlopen(url, timeout=30) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, path)
+        return True
+    except Exception:
+        return False
+
+
 @functools.lru_cache(maxsize=8)
 def _session(personalized: bool, model: str = "sig_bak_ovr.onnx"):
     import onnxruntime as ort  # optional dependency
@@ -40,10 +72,14 @@ def _session(personalized: bool, model: str = "sig_bak_ovr.onnx"):
     if not os.path.exists(path) and model == "model_v8.onnx":
         # the p808 model is shared between variants in the DNS release
         path = os.path.join(_model_dir(), "DNSMOS", model)
+        sub = "DNSMOS"
+    if not os.path.exists(path):
+        _maybe_download(path, sub, model)
     if not os.path.exists(path):
         raise FileNotFoundError(
-            f"DNSMOS model not found at {path}; download {model} from "
-            "github.com/microsoft/DNS-Challenge and place it there (no egress here).")
+            f"DNSMOS model not found at {path} and auto-download failed; "
+            f"fetch {model} from github.com/microsoft/DNS-Challenge and "
+            "place it there.")
     return ort.InferenceSession(path, providers=["CPUExecutionProvider"])
 
 

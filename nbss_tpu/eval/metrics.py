@@ -16,6 +16,7 @@ optional onnxruntime bridge). Per-metric failures degrade to None
 
 from __future__ import annotations
 
+import os
 import warnings
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -33,6 +34,19 @@ try:
     from pesq import pesq as _pesq
 except ImportError:  # pragma: no cover
     _pesq = None
+
+
+def _nb_pesq(fs: int, t: np.ndarray, p: np.ndarray) -> Optional[float]:
+    """NB-PESQ via the C ``pesq`` wheel when present (reference parity,
+    metrics.py:83-87); otherwise the native P.862-chain fallback
+    (eval/pesq_native.py) unless NBSS_PESQ_NATIVE=0."""
+    if _pesq is not None:
+        return float(_pesq(fs, t, p, "nb"))
+    if os.environ.get("NBSS_PESQ_NATIVE", "1") == "0":
+        return None
+    from nbss_tpu.eval.pesq_native import nb_pesq
+
+    return float(nb_pesq(fs, t, p))
 
 
 def _one_metric(name: str, preds: np.ndarray, target: np.ndarray, fs: int) -> Optional[float]:
@@ -56,9 +70,10 @@ def _one_metric_raw(name: str, preds: np.ndarray, target: np.ndarray, fs: int) -
             return float(np.mean(np.asarray(
                 M.si_sdr(jnp.asarray(preds), jnp.asarray(target), zero_mean=True))))
         if name == "NB_PESQ":
-            if _pesq is None:
+            vals = [_nb_pesq(fs, t, p) for p, t in zip(preds, target)]
+            if any(v is None for v in vals):
                 return None
-            return float(np.mean([_pesq(fs, t, p, "nb") for p, t in zip(preds, target)]))
+            return float(np.mean(vals))
         if name == "WB_PESQ":
             if _pesq is None or fs == 8000:  # WB-PESQ undefined at 8 kHz
                 return None

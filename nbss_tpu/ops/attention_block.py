@@ -118,7 +118,8 @@ def _reference(x, ln, A, Wvo, c, eps, nh):
     return (o[..., :H] + c[0] + xf).astype(x.dtype)
 
 
-def _kernel(x_ref, ln_ref, a_ref, wvo_ref, c_ref, o_ref, *, nh, eps, t_valid):
+def _kernel(x_ref, ln_ref, a_ref, wvo_ref, c_ref, o_ref, *, nh, eps, t_valid,
+            pipeline=False):
     mb, Tp, H = x_ref.shape
     f32 = jnp.float32
     xv = x_ref[...]
@@ -135,25 +136,46 @@ def _kernel(x_ref, ln_ref, a_ref, wvo_ref, c_ref, o_ref, *, nh, eps, t_valid):
     xa = jnp.concatenate([xln, tail.astype(f32)], axis=2).astype(dt)
     Ha = H + 2
     xa2 = xa.reshape(mb * Tp, Ha)  # sublane-dim merge only: free in Mosaic
-    acc = None
-    for h in range(nh):
+
+    def score(h):
         a_h = a_ref[h].astype(dt)      # [Ha, Ha], leading-dim index: free
         t = jax.lax.dot_general(
             xa2, a_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32).astype(dt).reshape(mb, Tp, Ha)
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             t, xa, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=f32)  # [mb, Tp, Tp]; pad cols ~ -1e30
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m).astype(dt)
+
+    def value(h, e):
         vo = jax.lax.dot_general(
             xa2, wvo_ref[h].astype(dt), dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32).astype(dt).reshape(mb, Tp, Ha)
-        pv = jax.lax.dot_general(
+        return jax.lax.dot_general(
             e, vo, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32)  # [mb, Tp, Ha]; lane H = rowsum(e)
-        o_h = pv[:, :, :H] / pv[:, :, H:H + 1]
-        acc = o_h if acc is None else acc + o_h
+
+    acc = None
+    if pipeline:
+        # software-pipelined emission order: head h's VPU softmax is emitted
+        # between head h+1's MXU score dot and head h's PV dot, giving the
+        # Mosaic scheduler independent MXU work to overlap with the exp.
+        s = score(0)
+        for h in range(nh):
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m).astype(dt)
+            if h + 1 < nh:
+                s = score(h + 1)
+            pv = value(h, e)
+            o_h = pv[:, :, :H] / pv[:, :, H:H + 1]
+            acc = o_h if acc is None else acc + o_h
+    else:
+        for h in range(nh):
+            s = score(h)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m).astype(dt)
+            pv = value(h, e)
+            o_h = pv[:, :, :H] / pv[:, :, H:H + 1]
+            acc = o_h if acc is None else acc + o_h
     o_ref[...] = (acc + c_ref[0] + xf).astype(o_ref.dtype)
 
 
@@ -167,8 +189,11 @@ def _fused_block(x, ln, A, Wvo, c, eps, nh, block_m):
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((mb, Tp, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    import os
+
+    pipe = os.environ.get("NBSS_BLOCK_PIPE", "1") != "0"
     out = pl.pallas_call(
-        functools.partial(_kernel, nh=nh, eps=eps, t_valid=T),
+        functools.partial(_kernel, nh=nh, eps=eps, t_valid=T, pipeline=pipe),
         grid=(Mp // mb,),
         in_specs=[xspec, full(ln), full(A), full(Wvo), full(c)],
         out_specs=xspec,

@@ -81,6 +81,40 @@ class TrainModule:
                 Xin, P("data", self.freq_axis, None, None))
 
         out = self.arch.apply(params, Xin, deterministic=deterministic, rngs=rngs)
+        return self._postprocess(out, B, F, T, Xr, XrMM, stft_paras, istft)
+
+    def forward_streaming(
+        self, params, x: jnp.ndarray, istft: bool = True
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Frame-by-frame forward through the arch's streaming API.
+
+        Same semantics as :meth:`forward` but the arch runs one STFT frame at
+        a time via ``init_streaming_state``/``streaming_step`` inside a
+        ``lax.scan`` — the deployment path of the online models (reference
+        OnlineSpatialNet.py:423-426 checks causality of exactly this
+        equivalence). Requires an online (causal) norm; offline norms see
+        future frames and would break frame-equivalence.
+        """
+        X, stft_paras = self.stft.stft(x[:, list(self.channels)])
+        B, C, F, T = X.shape
+        X, (Xr, XrMM) = self.norm.norm(X, ref_channel=self.ref_index)
+        Xin = jnp.transpose(X, (0, 2, 3, 1))
+        Xin = jnp.stack([Xin.real, Xin.imag], axis=-1).reshape(B, F, T, 2 * C)
+
+        state0 = self.arch.apply(params, B, method=self.arch.init_streaming_state)
+
+        def step(state, x_t):  # x_t [B, F, 2C]
+            y_t, state = self.arch.apply(params, x_t, state,
+                                         method=self.arch.streaming_step)
+            return state, y_t
+
+        _, out = jax.lax.scan(step, state0, jnp.moveaxis(Xin, 2, 0))
+        out = jnp.moveaxis(out, 0, 2)  # [T,B,F,o] -> [B,F,T,o]
+        return self._postprocess(out, B, F, T, Xr, XrMM, stft_paras, istft)
+
+    def _postprocess(self, out, B, F, T, Xr, XrMM, stft_paras, istft):
+        """Arch output -> (yr_hat, loss_paras): complex fold, cIRM/to_CC,
+        inverse normalization, iSTFT (SharedTrainer.py:120-132)."""
         if not jnp.iscomplexobj(out):
             out = out.astype(jnp.float32).reshape(B, F, T, -1, 2)
             out = jax.lax.complex(out[..., 0], out[..., 1])  # [B,F,T,Spk]

@@ -190,3 +190,95 @@ def test_mix_batch_babble_and_full(rng):
     # full overlap: both target streams active over (almost) the whole clip
     act = (np.abs(np.asarray(ys)[0, :, 0]) > 0).mean(axis=-1)
     assert (act > 0.3).all(), act
+
+
+# ---------------------------------------------------------------------------
+# Moving sources (trajectory RIR stacks)
+# ---------------------------------------------------------------------------
+
+def test_trajectory_windows_sum_to_one():
+    from nbss_tpu.data.device_mix import trajectory_windows
+
+    for T, P in [(4000, 5), (32000, 8), (1999, 3)]:
+        W = trajectory_windows(T, P)
+        assert W.shape == (P, T)
+        np.testing.assert_allclose(W.sum(0), np.ones(T), atol=1e-6)
+
+
+def test_trajectory_convolve_matches_host(rng):
+    """Device trajectory spatialization == the host crossfaded trajectory
+    convolution (mixing.convolve_trajectory_windowed) when P windows tile T
+    exactly (T=4000, P=5 -> hop=1000; host window count == P)."""
+    from nbss_tpu.data.device_mix import trajectory_convolve, trajectory_windows
+    from nbss_tpu.data.mixing import convolve_trajectory_windowed
+
+    T, P, C, L, S = 4000, 5, 2, 64, 2
+    hop = -(-T // (P - 1))
+    assert len(range(0, T + hop - 1, hop)) == P
+    dry = rng.standard_normal((S, T)).astype(np.float32)
+    rirs = rng.standard_normal((S, P, C, L)).astype(np.float32) * 0.3
+    W = trajectory_windows(T, P)
+    nfft = 1 << (T + L - 1).bit_length()
+    dev = np.asarray(trajectory_convolve(
+        jnp.asarray(dry), jnp.asarray(rirs), jnp.asarray(W), nfft))
+    for s in range(S):
+        host = convolve_trajectory_windowed(dry[s], rirs[s], hop)
+        np.testing.assert_allclose(dev[s, :, :T + L - 1], host, atol=2e-3)
+
+
+def test_mix_batch_trajectory_path(rng):
+    """mix_batch with traj_win: deterministic in (key, seed), correct shapes,
+    and the moving wet signal differs from any single static-RIR render."""
+    from nbss_tpu.data.device_mix import trajectory_windows
+
+    B, S, P, C, T, L, dpL = 2, 2, 4, 3, 4000, 256, 128
+    fs = 8000
+    rir = jnp.asarray(rng.standard_normal((B, S, P, C, L)), jnp.float32) * 0.2
+    rir = rir.at[..., 0].set(1.0)  # strong direct peak at lag 0
+    dp = jnp.asarray(np.zeros((B, S, P, C, dpL)), jnp.float32).at[..., 0].set(1.0)
+    W = jnp.asarray(trajectory_windows(T, P))
+    seeds = jnp.asarray([3, 7], jnp.int32)
+    kw = dict(T=T, fs=fs, rir_len=L, dp_len=dpL, ovlp="full",
+              snr_range=(30.0, 30.0), noise_types=("white",))
+    key = jax.random.PRNGKey(0)
+    x1, ys1 = mix_batch(key, seeds, rir, dp, *_cs_small(C), traj_win=W, **kw)
+    x2, ys2 = mix_batch(key, seeds, rir, dp, *_cs_small(C), traj_win=W, **kw)
+    assert x1.shape == (B, C, T) and ys1.shape == (B, S, C, T)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    assert np.all(np.isfinite(np.asarray(x1)))
+    # static render with only point 0 should differ from the moving render
+    x3, _ = mix_batch(key, seeds, rir[:, :, 0], dp[:, :, 0], *_cs_small(C), **kw)
+    assert np.abs(np.asarray(x1) - np.asarray(x3)).max() > 1e-4
+
+
+def _cs_small(C, F=129):
+    eye = np.broadcast_to(np.eye(C, dtype=np.float32), (F, C, C))
+    return jnp.asarray(eye), jnp.asarray(np.zeros((F, C, C), np.float32))
+
+
+def test_trajectory_datamodule_end_to_end(tmp_path):
+    """Render 2 tiny trajectory rooms with the ISM and run them through
+    DeviceSyntheticDataModule(trajectory_points=3): shapes, finiteness,
+    determinism across loader epochs."""
+    from nbss_tpu.sim.config import RirConfigSampler
+    from nbss_tpu.sim.generate import render_room
+
+    fs = 8000
+    s = RirConfigSampler(spk_num=2, noise_num=0, RT60_lim=(0.13, 0.16),
+                         trajectory=("4points+sin", 0.5), fs=fs, seed=11)
+    for idx, sub in [(0, "train"), (1, "validation")]:
+        render_room(s.sample(idx), fs, str(tmp_path), sub, split_trajectory=8)
+
+    dm = DeviceSyntheticDataModule(
+        rir_dir=str(tmp_path), num_spk=2, sample_rate=fs,
+        audio_time_len=(1.0, 1.0, 1.0, 1.0), num_items=(2, 2, 2, 2),
+        rir_len=2048, dp_len=512, trajectory_points=3,
+        batch_size=(2, 2), num_workers=0,
+        seeds=(5, 2, 3, 3))  # pin the train seed (default None = fresh/call)
+    batches = list(dm.train_dataloader())
+    assert len(batches) == 1
+    x, ys, paras = batches[0]
+    assert x.shape == (2, 6, fs) and ys.shape == (2, 2, 6, fs)
+    assert np.all(np.isfinite(np.asarray(x)))
+    x2, ys2, _ = next(iter(dm.train_dataloader()))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))

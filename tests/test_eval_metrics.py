@@ -72,6 +72,28 @@ def test_dnsmos_melspec_shape_and_scale():
     assert np.isfinite(feats).all()
 
 
+def test_dnsmos_download_gate(tmp_path, monkeypatch):
+    """Auto-download (reference dnsmos.py:41-69 parity) is gated: the
+    NBSS_NO_DOWNLOAD switch short-circuits, the personalized p808 model is
+    never fetched, and egress failures degrade to False (caller then raises
+    FileNotFoundError -> metric None) rather than crashing."""
+    from nbss_tpu.eval.dnsmos import _maybe_download
+
+    monkeypatch.setenv("NBSS_NO_DOWNLOAD", "1")
+    assert _maybe_download(str(tmp_path / "m.onnx"), "DNSMOS", "model_v8.onnx") is False
+    monkeypatch.delenv("NBSS_NO_DOWNLOAD")
+    assert _maybe_download(str(tmp_path / "m.onnx"), "pDNSMOS", "model_v8.onnx") is False
+    # zero-egress image: the urllib fetch fails and must return False quickly
+    import urllib.request
+
+    def boom(*a, **k):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    assert _maybe_download(str(tmp_path / "m.onnx"), "DNSMOS", "sig_bak_ovr.onnx") is False
+    assert not (tmp_path / "m.onnx").exists()
+
+
 def test_metric_dict_expansion():
     """Multi-valued metrics (DNSMOS-style dicts) expand into per-sub keys."""
     from unittest import mock
@@ -85,3 +107,60 @@ def test_metric_dict_expansion():
                                       np.zeros((1, 100)), np.zeros((1, 100)), 8000)
     assert out["DNSMOS_p808"] == 3.0 and inp["input_DNSMOS_sig"] == 2.0
     assert imp["DNSMOS_bak_i"] == 0.0 and out["DNSMOS_ovr"] is None
+
+
+# ---------------------------------------------------------------------------
+# Native NB-PESQ fallback (eval/pesq_native.py)
+# ---------------------------------------------------------------------------
+
+def _speechlike(rng, fs=8000, secs=4.0):
+    t = np.arange(int(fs * secs)) / fs
+    x = rng.standard_normal(len(t)) * np.sin(2 * np.pi * 3 * t) ** 2
+    X = np.fft.rfft(x)
+    f = np.fft.rfftfreq(len(x), 1 / fs)
+    X *= np.exp(-((f - 500) / 800) ** 2) + 0.3 * np.exp(-((f - 1500) / 500) ** 2)
+    x = np.fft.irfft(X, len(x))
+    return x / np.abs(x).max()
+
+
+def test_pesq_native_invariants(rng):
+    """Ceiling at the true MOS-LQO maximum (~4.55), monotone degradation
+    with additive-noise SNR, invariance to scale and constant delay."""
+    from nbss_tpu.eval.pesq_native import nb_pesq
+
+    fs = 8000
+    x = _speechlike(rng)
+    clean = nb_pesq(fs, x, x)
+    assert 4.5 < clean < 4.6, clean  # P.862.1 mapping ceiling
+
+    last = clean
+    for snr in [30, 20, 10, 0]:
+        n = rng.standard_normal(len(x))
+        n *= np.sqrt((x ** 2).mean() / (n ** 2).mean()) * 10 ** (-snr / 20)
+        v = nb_pesq(fs, x, x + n)
+        assert v < last - 0.2, (snr, v, last)  # strictly degrading
+        last = v
+    assert last < 2.6, last  # 0 dB SNR lands in the low-quality range
+
+    # level alignment + cross-correlation guard
+    assert abs(nb_pesq(fs, x, 0.25 * x) - clean) < 0.02
+    assert abs(nb_pesq(fs, x, np.roll(x, 100)) - clean) < 0.05
+
+
+def test_pesq_native_in_metric_dispatch(rng, monkeypatch):
+    """cal_metrics NB_PESQ uses the native fallback when the C wheel is
+    absent (this image), and degrades to None when NBSS_PESQ_NATIVE=0."""
+    from nbss_tpu.eval.metrics import cal_metrics
+
+    fs = 8000
+    t = np.stack([_speechlike(rng), _speechlike(rng)]).astype(np.float32)
+    p = t + 0.05 * rng.standard_normal(t.shape).astype(np.float32)
+    m, im, imp = cal_metrics(["NB_PESQ"], p, t, t + 0.3 * rng.standard_normal(
+        t.shape).astype(np.float32), fs)
+    assert m["NB_PESQ"] is not None and 1.0 < m["NB_PESQ"] <= 4.6
+    assert imp["NB_PESQ_i"] == pytest.approx(
+        m["NB_PESQ"] - im["input_NB_PESQ"], abs=1e-6)
+
+    monkeypatch.setenv("NBSS_PESQ_NATIVE", "0")
+    m2, _, _ = cal_metrics(["NB_PESQ"], p, t, t, fs)
+    assert m2["NB_PESQ"] is None

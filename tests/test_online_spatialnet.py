@@ -240,3 +240,31 @@ def test_scan_bf16_inputs(rng):
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(y_ref, np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_module_forward_streaming_matches_forward(rng):
+    """TrainModule.forward_streaming (lax.scan of streaming_step behind the
+    online STFT/norm front-end) == TrainModule.forward on the full pipeline
+    — the deployment-parity check of scripts/eval_streaming_ckpt.py."""
+    from nbss_tpu.io import STFT, Loss, Norm
+    from nbss_tpu.train.module import TrainModule
+
+    model = OnlineSpatialNet(attention="mamba(8,4)", decay=(4, 5, 9, 10),
+                             chunkwise_recurrent=False, rope=False,
+                             dim_input=4, dim_output=4, num_layers=2,
+                             dim_hidden=32, dim_ffn=64, num_heads=4,
+                             kernel_size=(5, 3), conv_groups=(8, 8),
+                             norms=("LN", "LN", "GN", "LN", "LN", "LN"),
+                             dim_squeeze=4, num_freqs=9, full_share=0)
+    module = TrainModule(
+        arch=model, channels=(0, 1), ref_channel=0,
+        stft=STFT(n_fft=16, n_hop=8),
+        norm=Norm(mode="utterance", online=True),
+        loss=Loss(name="neg_snr", pit=True))
+    x = jnp.asarray(rng.standard_normal((2, 2, 400)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 9, 10, 4), jnp.float32))
+    y_off, _ = module.forward(params, x)
+    y_str, _ = module.forward_streaming(params, x)
+    np.testing.assert_allclose(np.asarray(y_str), np.asarray(y_off),
+                               atol=2e-3, rtol=2e-2)
