@@ -59,6 +59,27 @@ def test_reference_matches_kernel(rng):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("pipe", ["0", "1"])
+def test_block_pipeline_orders_match(rng, monkeypatch, pipe):
+    """Both kernel emission orders (NBSS_BLOCK_PIPE=0 sequential, =1
+    software-pipelined score/softmax/PV interleave) equal the XLA
+    reference — the pipeline is a pure scheduling change."""
+    monkeypatch.setenv("NBSS_BLOCK_PIPE", pipe)
+    M, T, H, nh = 6, 40, 16, 4
+    x = jnp.asarray(rng.standard_normal((M, T, H)), jnp.float32)
+    w_in = jnp.asarray(rng.standard_normal((H, 3 * H)) * 0.2, jnp.float32)
+    b_in = jnp.asarray(rng.standard_normal((3 * H,)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((H, H)) * 0.2, jnp.float32)
+    b_out = jnp.asarray(rng.standard_normal((H,)) * 0.1, jnp.float32)
+    ln_s = jnp.asarray(1 + 0.1 * rng.standard_normal((H,)), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.standard_normal((H,)), jnp.float32)
+    ln, A, Wvo, c, eps = fold_weights(ln_s, ln_b, w_in, b_in, w_out, b_out, nh)
+    y_k = attention_block(x, ln, A, Wvo, c, eps, nh)
+    y_r = _reference(x, ln, A, Wvo, c, eps, nh)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_block_gradients(rng):
     """custom_vjp backward (XLA recompute) vs finite differences through the
     fused model."""
