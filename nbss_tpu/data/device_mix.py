@@ -190,8 +190,9 @@ def _diffuse_noise(key: jax.Array, C: int, T: int, cs_re: jnp.ndarray,
 def mix_batch(
     key: jax.Array,
     seeds: jnp.ndarray,       # [B] int32 — per-item seeds from the sampler
-    rir: jnp.ndarray,         # [B, S, C, rir_len] float32; moving sources:
-    rir_dp: jnp.ndarray,      # [B, S, P, C, rir_len] with traj_win [P, T]
+    rir: jnp.ndarray,         # [B, S, C, rir_len] float32, or moving sources
+                              #   (traj_win given): [B, S, P, C, rir_len]
+    rir_dp: jnp.ndarray,      # [B, S, C, dp_len], moving: [B, S, P, C, dp_len]
     cs_re: jnp.ndarray,       # [F, C, C] diffuse mixing matrices (real part)
     cs_im: jnp.ndarray,
     dry: Optional[jnp.ndarray] = None,  # [B, S, T] or None -> synth on device

@@ -46,7 +46,9 @@ def _maybe_download(path: str, sub: str, model: str) -> bool:
     url = f"{_DNS_CHALLENGE_RAW}/{sub}/{model}"
     if sub == "pDNSMOS" and model == "model_v8.onnx":
         return False  # not published for the personalized variant
-    try:
+    if url in _failed_downloads:  # negative cache: lru_cache only memoizes
+        return False              # successful _session calls, and a hanging
+    try:                          # egress would otherwise stall every metric
         import urllib.request
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -60,7 +62,11 @@ def _maybe_download(path: str, sub: str, model: str) -> bool:
         os.replace(tmp, path)
         return True
     except Exception:
+        _failed_downloads.add(url)
         return False
+
+
+_failed_downloads: set = set()
 
 
 @functools.lru_cache(maxsize=8)

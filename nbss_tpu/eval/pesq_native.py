@@ -155,7 +155,7 @@ def _align(ref: np.ndarray, deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     vals = np.concatenate([r[:max_lag + 1], r[-max_lag:]])
     lag = int(lags[np.argmax(np.abs(vals))])
     if lag > 0:        # deg delayed by `lag`
-        ref, deg = ref[lag:], deg[:len(deg) - 0]
+        ref = ref[lag:]
     elif lag < 0:
         deg = deg[-lag:]
     n = min(len(ref), len(deg))

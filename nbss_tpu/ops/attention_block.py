@@ -53,6 +53,7 @@ Pallas backward).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -189,8 +190,9 @@ def _fused_block(x, ln, A, Wvo, c, eps, nh, block_m):
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((mb, Tp, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    import os
-
+    # read at TRACE time: a jitted caller bakes the choice into its
+    # executable, so A/B the two orders in separate processes (or clear the
+    # jit cache) — flipping the env after first compile has no effect
     pipe = os.environ.get("NBSS_BLOCK_PIPE", "1") != "0"
     out = pl.pallas_call(
         functools.partial(_kernel, nh=nh, eps=eps, t_valid=T, pipeline=pipe),

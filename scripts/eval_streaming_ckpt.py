@@ -52,7 +52,9 @@ def main():
         if i >= n_batches:
             break
         x = jnp.asarray(x)
-        yr = jnp.asarray(ys)[:, :, module.ref_index].astype(jnp.float32)
+        # raw arrays are indexed by channel id (module.py:140), not by the
+        # position of the ref channel within `channels`
+        yr = jnp.asarray(ys)[:, :, module.ref_channel].astype(jnp.float32)
         y_off = fwd(params, x)
         y_str = fwd_stream(params, x)
         dev = float(jnp.max(jnp.abs(y_off - y_str)))
@@ -64,7 +66,7 @@ def main():
                     lambda preds, target: M.si_sdr(preds, target).mean(-1))
         si = np.asarray(si)
         si_in = np.asarray(M.si_sdr(
-            jnp.broadcast_to(x[:, module.ref_index:module.ref_index + 1],
+            jnp.broadcast_to(x[:, module.ref_channel:module.ref_channel + 1],
                              yr.shape), yr).mean(-1))
         devs.append(dev / max(scale, 1e-9))
         si_sdrs.append(float(si.mean()))
@@ -72,6 +74,9 @@ def main():
         print(f"batch {i}: rel_dev={devs[-1]:.2e} si_sdr={si_sdrs[-1]:.2f} "
               f"si_sdri={si_sdris[-1]:.2f}", file=sys.stderr)
 
+    if not devs:
+        print(json.dumps({"error": "no test batches evaluated"}))
+        return
     out = {
         "streaming_max_rel_dev": max(devs),
         "si_sdr": float(np.mean(si_sdrs)),
