@@ -107,6 +107,34 @@ def _m_tiling(Bp: int, cap: int = 256):
     return bm, n_tiles, bm * n_tiles
 
 
+_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _fwd_vmem_cap_rows(tc: int, D_: int, N_: int, itemsize: int,
+                       boundaries: bool) -> int:
+    """Max M-tile rows the forward kernel can hold inside the scoped-VMEM
+    budget. Models the compiler's stack accounting: each [tc, bm, feat]
+    in/out block pads feat to 128 lanes and is double-buffered across the
+    sequential T grid; the [1, bm, N, D] boundary output block and the
+    [bm, N, D] fp32 state scratch pad N to 8 sublanes and D to 128 lanes.
+    A hard-coded row cap (1056 until round 3) compiled on one libtpu
+    release and died with 'exceeded scoped vmem limit' on the next —
+    scoped-vmem accounting is a moving target, so derive the cap from the
+    shapes instead of pinning a magic number."""
+    lane = lambda f: -(-f // 128) * 128
+    sub = lambda s: -(-s // 8) * 8
+    per_row = (
+        2 * 2 * tc * lane(D_) * itemsize    # x, dt in-blocks, double-buffered
+        + 2 * 2 * tc * lane(N_) * itemsize  # b, c in-blocks
+        + 2 * tc * lane(D_) * itemsize      # y out-block
+        + sub(N_) * lane(D_) * 4            # h state scratch (fp32)
+    )
+    if boundaries:
+        per_row += 2 * sub(N_) * lane(D_) * 4  # hb out-block (fp32)
+    rows = int(_VMEM_BUDGET * 0.9) // per_row
+    return max(8, rows // 8 * 8)
+
+
 def selective_scan_pallas(
     x: jnp.ndarray,      # [B, T, D]
     dt: jnp.ndarray,     # [B, T, D] (post-softplus)
@@ -130,7 +158,9 @@ def selective_scan_pallas(
     Bp0 = -(-B_ // 8) * 8
     # single M tile (1-D grid over T chunks) for any batch the VMEM budget
     # allows — the 2-D M-tiled grid exists only for very large B*F
-    bm, n_mt, Bp = _m_tiling(Bp0, cap=cap)
+    vmem_cap = _fwd_vmem_cap_rows(t_chunk, D_, N_, x.dtype.itemsize,
+                                  return_boundaries)
+    bm, n_mt, Bp = _m_tiling(Bp0, cap=min(cap, vmem_cap))
     Tp = -(-T_ // t_chunk) * t_chunk
     n_chunks = Tp // t_chunk
 
