@@ -25,12 +25,37 @@ Subpackages
 __version__ = "0.1.0"
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature set. XLA:CPU AOT cache entries
+    are machine-specific: loading entries compiled on a host with different
+    CPU features makes cpu_aot_loader spam machine-feature-mismatch errors
+    and can block the process outright (observed with a foreign-host cache:
+    2 min CPU over 15 min wall)."""
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+
+
 def _enable_persistent_compile_cache():
     """Persist compiled executables across processes (~/.cache/jax_nbss by
     default, override with JAX_COMPILATION_CACHE_DIR or disable with
     NBSS_NO_COMPILE_CACHE=1). The Pallas scan/attention kernels take minutes
     of Mosaic compile time per shape; without this every CLI / bench / test
-    process pays it again."""
+    process pays it again.
+
+    The cache lives in a per-host-fingerprint subdirectory: a cache
+    directory that survives a machine change (or is copied between hosts)
+    must never be loaded on the new machine."""
     import os
 
     if os.environ.get("NBSS_NO_COMPILE_CACHE"):
@@ -38,9 +63,10 @@ def _enable_persistent_compile_cache():
     try:
         import jax
 
-        path = os.environ.get(
+        base = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "jax_nbss"))
+        path = os.path.join(base, f"host-{_host_fingerprint()}")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

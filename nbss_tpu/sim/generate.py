@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 from typing import Optional, Tuple
 
 import numpy as np
@@ -67,6 +68,39 @@ def render_room(par: dict, fs: int, rir_dir: str, setdir: str,
     return save_to
 
 
+_ROOM_FILE_RE = re.compile(r"^(\d+)(\.npz|_rir_\d+\.npy|_rir_dp_\d+\.npz)$")
+
+
+def migrate_splits(rir_dir: str, rir_nums: Tuple[int, int, int]) -> int:
+    """Room indices are global across splits, so re-running with a different
+    ``rir_nums`` must relocate rooms rendered by a previous run: e.g. growing
+    8/2/2 -> 128/16/16 turns old validation/8.npz into a train room — leaving
+    it behind would put the same deterministic room in both splits
+    (train/val leakage). Rooms beyond the new total go to ``_excess/``.
+    Returns the number of files moved."""
+    n_train, n_val, n_test = rir_nums
+    total = n_train + n_val + n_test
+    moved = 0
+    for setdir in ("train", "validation", "test"):
+        d = os.path.join(rir_dir, setdir)
+        if not os.path.isdir(d):
+            continue
+        for fname in sorted(os.listdir(d)):
+            m = _ROOM_FILE_RE.match(fname)
+            if not m:
+                continue
+            index = int(m.group(1))
+            want = ("train" if index < n_train
+                    else "validation" if index < n_train + n_val
+                    else "test" if index < total else "_excess")
+            if want != setdir:
+                dst = os.path.join(rir_dir, want)
+                os.makedirs(dst, exist_ok=True)
+                os.replace(os.path.join(d, fname), os.path.join(dst, fname))
+                moved += 1
+    return moved
+
+
 def generate_rir_files(sampler: RirConfigSampler, rir_dir: str,
                        rir_nums: Tuple[int, int, int],
                        split_trajectory: Optional[int] = None,
@@ -74,6 +108,10 @@ def generate_rir_files(sampler: RirConfigSampler, rir_dir: str,
     rir_dir = os.path.expanduser(rir_dir)
     n_train, n_val, n_test = rir_nums
     total = n_train + n_val + n_test
+    moved = migrate_splits(rir_dir, rir_nums)
+    if moved:
+        print(f"migrated {moved} room files to their splits for "
+              f"rir_nums={rir_nums}", flush=True)
     for index in range(total):
         setdir = ("train" if index < n_train
                   else "validation" if index < n_train + n_val else "test")

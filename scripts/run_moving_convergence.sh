@@ -8,11 +8,14 @@
 # latest checkpoint evaluated with scripts/eval_streaming_ckpt.py.
 #
 # corpora/ is gitignored and wiped between build rounds, so this script
-# bootstraps the RIR corpus first if it is missing (resumable: rooms are
-# deterministic in (seed, index), partial corpora continue where they left
-# off). RIR_NUMS controls the corpus size: "128 16 16" is the documented
-# full corpus (~90 min of chip time to render); "32 6 6" is a time-boxed
-# variant that trains the identical pipeline on fewer rooms.
+# always invokes the corpus generator first: it is resumable (rooms are
+# deterministic in (seed, index); completed rooms are skipped) and it
+# migrates rooms rendered under a different RIR_NUMS into their correct
+# splits (sim/generate.py migrate_splits — no train/val leakage when the
+# corpus is grown or shrunk). RIR_NUMS controls the corpus size:
+# "128 16 16" is the documented full corpus (~90 min of chip time to
+# render); "8 2 2" is the time-boxed variant used for the round-3
+# degraded-chip session (RESULTS.md).
 #
 # Usage: [RIR_NUMS="128 16 16"] bash scripts/run_moving_convergence.sh [max_epochs]
 set -u
@@ -21,20 +24,11 @@ EPOCHS="${1:-100}"
 RIR_NUMS="${RIR_NUMS:-128 16 16}"
 export PYTHONPATH=/root/.axon_site:/root/repo
 
-read -r N_TRAIN N_VAL N_TEST <<< "$RIR_NUMS"
-need=0
-for setdir_count in "train:$N_TRAIN" "validation:$N_VAL" "test:$N_TEST"; do
-  setdir="${setdir_count%%:*}"; count="${setdir_count##*:}"
-  have=$(ls corpora/rir8k_moving/"$setdir"/*.npz 2>/dev/null | wc -l)
-  [ "$have" -lt "$count" ] && need=1
-done
-if [ "$need" = 1 ]; then
-  echo "SIM_START rir_nums=$RIR_NUMS $(date -u)" >&2
-  python -m nbss_tpu.sim.generate --rir_dir=corpora/rir8k_moving \
-    --spk_num=2 --rir_nums $RIR_NUMS --fs=8000 \
-    --trajectory=4points+sin,0.5 --seed=0 || exit $?
-  echo "SIM_DONE $(date -u)" >&2
-fi
+echo "SIM_START rir_nums=$RIR_NUMS $(date -u)" >&2
+python -m nbss_tpu.sim.generate --rir_dir=corpora/rir8k_moving \
+  --spk_num=2 --rir_nums $RIR_NUMS --fs=8000 \
+  --trajectory=4points+sin,0.5 --seed=0 || exit $?
+echo "SIM_DONE $(date -u)" >&2
 
 echo "FIT_START $(date -u)" >&2
 python -m nbss_tpu.cli fit \

@@ -139,3 +139,45 @@ def test_render_room_trajectory(tmp_path):
     r = np.load(rir_file)
     n_pts = len(par["pos_src"][0])
     assert r.shape[0] == n_pts and r.shape[1] == 6
+
+
+def test_migrate_splits(tmp_path):
+    """Growing rir_nums must relocate rooms whose global index now belongs
+    to a different split (train/val leakage guard, generate.py)."""
+    import os
+
+    from nbss_tpu.sim.generate import migrate_splits
+
+    # simulate a previous 8/2/2 corpus: train 0-7, validation 8-9, test 10-11
+    # (room 3 is a trajectory room with per-source sidecars)
+    layout = {"train": range(0, 8), "validation": range(8, 10),
+              "test": range(10, 12)}
+    for setdir, idxs in layout.items():
+        d = tmp_path / setdir
+        d.mkdir()
+        for i in idxs:
+            (d / f"{i}.npz").write_bytes(b"x")
+    for side in ("3_rir_0.npy", "3_rir_dp_0.npz", "3_rir_1.npy"):
+        (tmp_path / "train" / side).write_bytes(b"x")
+
+    # grow to 32/6/6: old validation/test rooms 8-11 all become train rooms
+    moved = migrate_splits(str(tmp_path), (32, 6, 6))
+    assert moved == 4
+    for i in range(12):
+        assert (tmp_path / "train" / f"{i}.npz").exists(), i
+    assert not any((tmp_path / "validation").glob("*.npz"))
+    assert not any((tmp_path / "test").glob("*.npz"))
+
+    # shrink to 2/1/1: 0-1 train, 2 validation, 3 test, rest quarantined;
+    # room 3's sidecars must travel with its metadata
+    moved = migrate_splits(str(tmp_path), (2, 1, 1))
+    assert (tmp_path / "train" / "0.npz").exists()
+    assert (tmp_path / "train" / "1.npz").exists()
+    assert (tmp_path / "validation" / "2.npz").exists()
+    assert (tmp_path / "test" / "3.npz").exists()
+    assert (tmp_path / "test" / "3_rir_0.npy").exists()
+    assert (tmp_path / "test" / "3_rir_dp_0.npz").exists()
+    assert (tmp_path / "_excess" / "4.npz").exists()
+    assert (tmp_path / "_excess" / "11.npz").exists()
+    # idempotent
+    assert migrate_splits(str(tmp_path), (2, 1, 1)) == 0
