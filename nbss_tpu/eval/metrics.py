@@ -30,6 +30,12 @@ from nbss_tpu.ops import metrics as M
 DEVICE_METRICS = {"SDR", "SI_SDR", "SNR", "SI_SNR"}
 HOST_METRICS = {"NB_PESQ", "WB_PESQ", "STOI", "eSTOI", "DNSMOS", "pDNSMOS"}
 
+#: Output-key renames recording metric provenance: when the ITU P.862 C
+#: library is absent, the native estimator's values are reported under
+#: ``NB_PESQ_est`` so no results JSON can pass an estimate off as P.862
+#: (reference metric names: /root/reference/models/utils/metrics.py:83-87).
+_EST_SUFFIX = "_est"
+
 try:
     from pesq import pesq as _pesq
 except ImportError:  # pragma: no cover
@@ -134,9 +140,12 @@ def cal_metrics(
                 imp[f"{m}_{sub}_i"] = ((sv - si) if (sv is not None and si is not None)
                                        else None)
             continue
-        out[m] = v
-        inp[f"input_{m}"] = vi
-        imp[f"{m}_i"] = (v - vi) if (v is not None and vi is not None) else None
+        key = m
+        if m == "NB_PESQ" and _pesq is None and v is not None:
+            key = m + _EST_SUFFIX  # native estimator, not ITU P.862
+        out[key] = v
+        inp[f"input_{key}"] = vi
+        imp[f"{key}_i"] = (v - vi) if (v is not None and vi is not None) else None
 
         if chunk is not None and m in DEVICE_METRICS:
             clen, hop = int(chunk[0] * fs), int(chunk[1] * fs)

@@ -30,8 +30,17 @@ this module are published):
 - NB mode only (8 kHz; 16 kHz input is decimated). WB-PESQ (P.862.2) is
   not provided — at 8 kHz the reference skips it too (metrics.py:103-105).
 
-Enabled by default as the NB_PESQ provider when the C library is missing;
-set NBSS_PESQ_NATIVE=0 to force the strict behavior (metric -> None).
+Enabled by default when the C library is missing, and reported under the
+key ``NB_PESQ_est`` — never ``NB_PESQ``, which is reserved for the ITU
+implementation (eval/metrics.py). Set NBSS_PESQ_NATIVE=0 to force the
+strict behavior (metric -> None).
+
+Conformance bound (pinned by tests/test_eval_metrics.py): clean reference
+scores at the P.862.1 ceiling (4.5-4.6); additive-noise degradations are
+strictly MOS-ordered with >=0.2 MOS separation per 10 dB SNR step; 0 dB
+SNR lands < 2.6 and pure noise < 2.0; scores are invariant to gain and
+constant delay. Absolute deviation from ITU P.862 on any individual pair
+is NOT bounded by tests — only orderings and these anchors are.
 """
 
 from __future__ import annotations

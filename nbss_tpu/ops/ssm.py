@@ -123,6 +123,11 @@ def _fwd_vmem_cap_rows(tc: int, D_: int, N_: int, itemsize: int,
     shapes instead of pinning a magic number."""
     lane = lambda f: -(-f // 128) * 128
     sub = lambda s: -(-s // 8) * 8
+    # bm rows of a [tc, bm, feat] block tile sublanes in units of the
+    # dtype's sublane multiple (16 for 2-byte dtypes, 8 for fp32), so the
+    # returned cap must be a multiple of it or small-bm bf16 blocks cost up
+    # to 2x the modeled per-row bytes (worst at bm=8).
+    sub_mult = max(8, 32 // itemsize)
     per_row = (
         2 * 2 * tc * lane(D_) * itemsize    # x, dt in-blocks, double-buffered
         + 2 * 2 * tc * lane(N_) * itemsize  # b, c in-blocks
@@ -131,8 +136,9 @@ def _fwd_vmem_cap_rows(tc: int, D_: int, N_: int, itemsize: int,
     )
     if boundaries:
         per_row += 2 * sub(N_) * lane(D_) * 4  # hb out-block (fp32)
-    rows = int(_VMEM_BUDGET * 0.9) // per_row
-    return max(8, rows // 8 * 8)
+    fixed = sub(N_) * lane(D_) * 4              # constant [N, D] a-block
+    rows = (int(_VMEM_BUDGET * 0.9) - fixed) // per_row
+    return max(sub_mult, rows // sub_mult * sub_mult)
 
 
 def selective_scan_pallas(

@@ -159,7 +159,8 @@ def blstm2_fc1_params_from_torch(sd: Mapping[str, np.ndarray],
 
 
 def online_spatialnet_params_from_torch(
-    sd: Mapping[str, np.ndarray], num_layers: int, full_share: int = 0
+    sd: Mapping[str, np.ndarray], num_layers: int, full_share: int = 0,
+    attention: str = "mhsa(inf)",
 ) -> Dict:
     """Map the reference OnlineSpatialNet (mhsa variant) state_dict
     (OnlineSpatialNet.py:259-337) onto nbss_tpu's OnlineSpatialNet.
@@ -169,7 +170,29 @@ def online_spatialnet_params_from_torch(
     OnlineSpatialNet.py:86-141 vs SpatialNet.py:46-73; only padding
     semantics differ, which carry no parameters), so the mapping is shared.
     ret/mamba time modules have their own parameter sets and are not
-    handled here."""
+    handled here.
+
+    Pass the checkpoint's configured ``attention`` string (e.g.
+    ``"mhsa(251)"``) so the bounded-scope caveat can be surfaced: the
+    reference's SDPA call drops the local-scope mask whenever
+    ``is_causal=True`` (OnlineSpatialNet.py:191), so reference ``mhsa(N)``
+    checkpoints were actually trained UNBOUNDED-causal. nbss_tpu implements
+    true bounded scope (required for O(1) streaming); running such a
+    checkpoint at finite scope N changes behavior on sequences longer than
+    N frames. A UserWarning is raised for any finite N — evaluate imported
+    mhsa checkpoints with ``attention='mhsa(inf)'`` for parity."""
+    att = attention.replace(" ", "")
+    if att.startswith("mhsa(") and att not in ("mhsa(inf)", "mhsa()"):
+        import warnings
+
+        warnings.warn(
+            f"reference OnlineSpatialNet checkpoints with attention={attention!r} "
+            "were trained with the local-scope mask silently dropped "
+            "(torch SDPA is_causal=True, OnlineSpatialNet.py:191) — i.e. "
+            "unbounded-causal. nbss_tpu enforces the bounded scope, which "
+            "diverges from the trained behavior beyond the scope length; "
+            "use attention='mhsa(inf)' to reproduce the checkpoint.",
+            UserWarning, stacklevel=2)
     return spatialnet_params_from_torch(sd, num_layers, full_share)
 
 

@@ -168,8 +168,10 @@ def test_fullchain_online_spatialnet_mhsa(rng):
               num_heads=2, full_share=0, attention="mhsa(64)")
     torch.manual_seed(0)
     tm = TorchOnline(**{**kw, "norms": ["LN", "LN", "GN", "LN", "LN", "LN"]}).eval()
-    params = online_spatialnet_params_from_torch(
-        {k: v.numpy() for k, v in tm.state_dict().items()}, num_layers=2)
+    with pytest.warns(UserWarning, match="unbounded-causal"):
+        params = online_spatialnet_params_from_torch(
+            {k: v.numpy() for k, v in tm.state_dict().items()}, num_layers=2,
+            attention=kw["attention"])
     jm = OnlineSpatialNet(**{**kw, "norms": ("LN", "LN", "GN", "LN", "LN", "LN")})
     # flagship online norm config: configs/onlineSpatialNet.yaml:43-47
     _run_chain(rng, tm, jm, params, n_chan, n_spk,
@@ -204,3 +206,22 @@ def test_fullchain_nbc2(rng):
               dim_hidden=32, dim_ffn=64, num_freqs=F, n_heads=2)
     _run_chain(rng, tm, jm, params, n_chan, n_spk,
                norm_kwargs=dict(mode="frequency", online=False))
+
+
+def test_online_mhsa_scope_import_warning():
+    """Importing a reference mhsa(N) checkpoint must surface the caveat that
+    the reference trained it with the local-scope mask dropped (unbounded
+    causal, OnlineSpatialNet.py:191); mhsa(inf) imports stay silent."""
+    import warnings
+
+    from nbss_tpu.utils.torch_compat import online_spatialnet_params_from_torch
+
+    with pytest.warns(UserWarning, match="unbounded-causal"):
+        with pytest.raises(KeyError):  # empty sd: mapping fails after warning
+            online_spatialnet_params_from_torch({}, num_layers=1,
+                                                attention="mhsa(192)")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        with pytest.raises(KeyError):
+            online_spatialnet_params_from_torch({}, num_layers=1,
+                                                attention="mhsa(inf)")
