@@ -86,6 +86,29 @@ def main():
     from nbss_tpu.models import SpatialNet
     from nbss_tpu.train import TrainModule
 
+    # Chip-health probe: raw MXU + HBM rates vs v5e spec (197 bf16 TFLOP/s,
+    # 819 GB/s). The tunneled chip has been observed running at ~53% of BOTH
+    # simultaneously (a clock throttle) — rounds 1-3 headline numbers moved
+    # 2x for hardware reasons alone, so every official run now records the
+    # in-run hardware state next to its result.
+    try:
+        d = jax.devices()[0]
+        n = 4096
+        ones = jnp.ones((n, n), jnp.bfloat16)
+
+        @jax.jit
+        def _mm(a, k):
+            return jax.lax.fori_loop(0, k, lambda i, c: jnp.tanh(c @ a), a)[0, 0]
+
+        float(_mm(ones, 2))
+        t0 = time.perf_counter()
+        float(_mm(ones, 30))
+        tf = 2 * n**3 * 30 / (time.perf_counter() - t0) / 1e12
+        _log(f"chip health: {d.device_kind} ({d.platform}), "
+             f"{tf:.0f} bf16 TFLOP/s = {tf / 197 * 100:.0f}% of v5e spec")
+    except Exception as e:  # never let the probe kill the bench
+        _log(f"chip health probe failed: {type(e).__name__}: {e}")
+
     fs, secs, B, C, spk = 8000, 4.0, 16, 6, 2
     T = int(fs * secs)
 

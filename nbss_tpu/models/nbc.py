@@ -196,12 +196,20 @@ class NBCBlock(nn.Module):
         megakernel (ops.attention_block.attention_block_relpos): pre-LN +
         folded q/k/v/out projections + trig-factorized Transformer-XL
         position scores + residual in one kernel pass. Requires norm_first,
-        no mask, inactive dropout."""
+        no mask, inactive dropout.
+
+        Default (fused_block=None, no NBSS_FUSED_BLOCK env): ON whenever a
+        real accelerator backend is active (see SpatialNet._use_fused_block);
+        off on the interpret-only CPU backend."""
         import os
+
+        import jax
 
         fused = self.fused_block
         if fused is None:
-            fused = os.environ.get("NBSS_FUSED_BLOCK", "") == "1"
+            env = os.environ.get("NBSS_FUSED_BLOCK", "")
+            fused = (env == "1" if env
+                     else jax.default_backend() != "cpu")
         return (fused and not self.is_initializing() and self.norm_first
                 and att_mask is None and (deterministic or self.dropout == 0))
 

@@ -411,8 +411,14 @@ class OnlineSpatialNet(nn.Module):
         self.encoder = Conv1d(self.dim_hidden, self.encoder_kernel_size,
                               padding="causal", dtype=self.dtype,
                               param_dtype=self.param_dtype)
+        # remat=True wraps each layer in jax.checkpoint: the mamba(16,4)
+        # training step at B=8 x 4 s otherwise allocates ~24 GB of fp32
+        # scan temps in the backward (>15.75 GB v5e HBM). statics: the
+        # (deterministic, chunkwise, rope, recurrent) flags.
+        layer_cls = (nn.remat(OnlineSpatialNetLayer, static_argnums=(4, 5, 6, 7))
+                     if self.remat else OnlineSpatialNetLayer)
         self.layers = [
-            OnlineSpatialNetLayer(
+            layer_cls(
                 dim_hidden=self.dim_hidden, dim_ffn=self.dim_ffn,
                 dim_squeeze=self.dim_squeeze, num_freqs=self.num_freqs,
                 num_heads=self.num_heads, attention=self.attention,

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -111,11 +112,19 @@ class SpatialNetLayer(nn.Module):
     def _use_fused_block(self, att_mask, deterministic) -> bool:
         """Whether to run the narrow-band block through the Pallas megakernel
         (ops.attention_block): LN + folded qkv/out projections + attention +
-        residual in one kernel. Requires the default LN pre-norm, no mask and
-        inactive attention dropout."""
+        residual in one kernel (hand-written Pallas fwd AND bwd). Requires
+        the default LN pre-norm, no mask and inactive attention dropout.
+
+        Default (fused_block=None, no NBSS_FUSED_BLOCK env): ON whenever a
+        real accelerator backend is active — the megakernel won every
+        same-session A/B vs the XLA and pallas-attention paths (+16.6%,
+        BENCH_NOTES rounds 2-4). On the CPU backend kernels only run
+        interpreted (slow), so the default there stays off."""
         fused = self.fused_block
         if fused is None:
-            fused = os.environ.get("NBSS_FUSED_BLOCK", "") == "1"
+            env = os.environ.get("NBSS_FUSED_BLOCK", "")
+            fused = (env == "1" if env
+                     else jax.default_backend() != "cpu")
         return (fused and not self.is_initializing()
                 and att_mask is None and self.norms[0].upper() == "LN"
                 and (deterministic or self.dropout[0] == 0))

@@ -44,10 +44,10 @@ crashes Mosaic's ApplyVectorLayoutPass (vector_extract_slice limits 32 vs
 is free anyway. The ones column of Wvo_aug ([H, H] = 1) likewise makes the
 PV contraction produce the softmax row sums in lane H for free.
 
-Backward: custom_vjp that recomputes through an XLA reference composition
-of the same folded math (correct gradients; the training path defaults to
-the unfused module composition whose attention core has a hand-written
-Pallas backward).
+Backward: custom_vjp with a hand-written Pallas backward kernel
+(``_fused_block_bwd``) that recomputes the forward intermediates in VMEM
+and accumulates dx/dln/dA/dWvo/dc in one pass over the M grid — the
+default training path on TPU runs fully fused fwd+bwd.
 """
 
 from __future__ import annotations

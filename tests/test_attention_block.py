@@ -113,6 +113,27 @@ def test_fused_flag_plumbing(rng, monkeypatch):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_fused_default_follows_backend(monkeypatch):
+    """fused_block=None with no env: default ON on accelerator backends,
+    OFF on the interpret-only CPU backend; NBSS_FUSED_BLOCK=0/1 overrides
+    both ways (models/spatialnet.py _use_fused_block)."""
+    import jax as _jax
+
+    from nbss_tpu.models.spatialnet import SpatialNetLayer
+
+    lay = SpatialNetLayer(dim_hidden=32, dim_ffn=64, dim_squeeze=8,
+                          num_freqs=33, num_heads=2).bind({})
+    monkeypatch.delenv("NBSS_FUSED_BLOCK", raising=False)
+    expect = _jax.default_backend() != "cpu"
+    assert lay._use_fused_block(None, True) is expect
+    monkeypatch.setenv("NBSS_FUSED_BLOCK", "0")
+    assert lay._use_fused_block(None, True) is False
+    monkeypatch.setenv("NBSS_FUSED_BLOCK", "1")
+    assert lay._use_fused_block(None, True) is True
+    # precondition guards still veto the kernel
+    assert lay._use_fused_block(object(), True) is False  # mask present
+
+
 def test_pallas_backward_matches_reference_vjp(rng):
     """The hand-written Pallas backward equals jax.vjp through the XLA
     reference composition for every cotangent (x, ln, A, Wvo, c)."""

@@ -268,3 +268,38 @@ def test_module_forward_streaming_matches_forward(rng):
     y_str, _ = module.forward_streaming(params, x)
     np.testing.assert_allclose(np.asarray(y_str), np.asarray(y_off),
                                atol=2e-3, rtol=2e-2)
+
+
+def test_remat_matches_unremat(rng):
+    """remat=True (per-layer jax.checkpoint, required to fit the mamba
+    train step in HBM) must not change outputs or gradients, and the
+    streaming path must stay reachable through the wrapped layers."""
+    import jax.flatten_util
+
+    from nbss_tpu.models import OnlineSpatialNet
+
+    kw = dict(dim_input=4, dim_output=4, num_layers=2, dim_hidden=16,
+              dim_ffn=32, num_heads=2, dim_squeeze=4, num_freqs=9,
+              attention="mamba(4,4)")
+    m1 = OnlineSpatialNet(**kw, remat=True)
+    m0 = OnlineSpatialNet(**kw, remat=False)
+    x = jnp.asarray(rng.standard_normal((2, 9, 20, 4)), jnp.float32)
+    params = m1.init(jax.random.PRNGKey(0), x)
+
+    np.testing.assert_allclose(np.asarray(m1.apply(params, x)),
+                               np.asarray(m0.apply(params, x)), atol=1e-6)
+    g1 = jax.grad(lambda p: jnp.mean(m1.apply(p, x) ** 2))(params)
+    g0 = jax.grad(lambda p: jnp.mean(m0.apply(p, x) ** 2))(params)
+    np.testing.assert_allclose(
+        np.asarray(jax.flatten_util.ravel_pytree(g1)[0]),
+        np.asarray(jax.flatten_util.ravel_pytree(g0)[0]), atol=1e-6)
+
+    st = m1.apply(params, 2, method=OnlineSpatialNet.init_streaming_state)
+
+    def step(c, xt):
+        y, c2 = m1.apply(params, xt, c, method=OnlineSpatialNet.streaming_step)
+        return c2, y
+
+    _, ys = jax.lax.scan(step, st, jnp.moveaxis(x, 2, 0))
+    dev = float(jnp.max(jnp.abs(jnp.moveaxis(ys, 0, 2) - m1.apply(params, x))))
+    assert dev < 1e-5, dev
