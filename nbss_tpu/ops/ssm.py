@@ -110,34 +110,42 @@ def _m_tiling(Bp: int, cap: int = 256):
 _VMEM_BUDGET = 64 * 1024 * 1024
 
 
-def _fwd_vmem_cap_rows(tc: int, D_: int, N_: int, itemsize: int,
-                       boundaries: bool) -> int:
+def _fwd_vmem_cap_rows(tc: int, D_: int, N_: int, x_item: int, dt_item: int,
+                       bc_item: int, boundaries: bool) -> int:
     """Max M-tile rows the forward kernel can hold inside the scoped-VMEM
     budget. Models the compiler's stack accounting: each [tc, bm, feat]
-    in/out block pads feat to 128 lanes and is double-buffered across the
-    sequential T grid; the [1, bm, N, D] boundary output block and the
-    [bm, N, D] fp32 state scratch pad N to 8 sublanes and D to 128 lanes.
-    A hard-coded row cap (1056 until round 3) compiled on one libtpu
-    release and died with 'exceeded scoped vmem limit' on the next —
-    scoped-vmem accounting is a moving target, so derive the cap from the
-    shapes instead of pinning a magic number."""
+    in/out block pads feat to 128 lanes, input blocks are pipelined up to
+    3-deep across the sequential T grid (outputs 2-deep); the [1, bm, N, D]
+    boundary output block and the [bm, N, D] fp32 state scratch pad N to 8
+    sublanes and D to 128 lanes. A hard-coded row cap (1056 until round 3)
+    compiled on one libtpu release and died with 'exceeded scoped vmem
+    limit' on the next — scoped-vmem accounting is a moving target, so
+    derive the cap from the shapes instead of pinning a magic number.
+
+    Each operand is modeled at its OWN itemsize: ``dt`` is the fp32
+    softplus island even in bf16-mixed runs (mamba.py), and accounting it
+    at x's 2 bytes undersized the model by 2x on the dt blocks — the
+    inference path (no boundary outputs, hence the largest cap) then chose
+    a single 1032-row tile whose real footprint (82.4 MiB) blew the ~70 MiB
+    scoped limit while the modeled one (50 MiB) fit. Observed-vs-modeled on
+    that shape calibrates the 3-deep input pipelining and the 0.8 margin."""
     lane = lambda f: -(-f // 128) * 128
     sub = lambda s: -(-s // 8) * 8
     # bm rows of a [tc, bm, feat] block tile sublanes in units of the
-    # dtype's sublane multiple (16 for 2-byte dtypes, 8 for fp32), so the
-    # returned cap must be a multiple of it or small-bm bf16 blocks cost up
-    # to 2x the modeled per-row bytes (worst at bm=8).
-    sub_mult = max(8, 32 // itemsize)
+    # narrowest dtype's sublane multiple (16 for 2-byte dtypes, 8 for
+    # fp32), so the returned cap must be a multiple of it or small-bm bf16
+    # blocks cost up to 2x the modeled per-row bytes (worst at bm=8).
+    sub_mult = max(8, 32 // min(x_item, dt_item, bc_item))
     per_row = (
-        2 * 2 * tc * lane(D_) * itemsize    # x, dt in-blocks, double-buffered
-        + 2 * 2 * tc * lane(N_) * itemsize  # b, c in-blocks
-        + 2 * tc * lane(D_) * itemsize      # y out-block
-        + sub(N_) * lane(D_) * 4            # h state scratch (fp32)
+        3 * tc * lane(D_) * (x_item + dt_item)  # x, dt in-blocks, pipelined
+        + 3 * 2 * tc * lane(N_) * bc_item       # b, c in-blocks
+        + 2 * tc * lane(D_) * x_item            # y out-block
+        + sub(N_) * lane(D_) * 4                # h state scratch (fp32)
     )
     if boundaries:
         per_row += 2 * sub(N_) * lane(D_) * 4  # hb out-block (fp32)
     fixed = sub(N_) * lane(D_) * 4              # constant [N, D] a-block
-    rows = (int(_VMEM_BUDGET * 0.9) - fixed) // per_row
+    rows = (int(_VMEM_BUDGET * 0.8) - fixed) // per_row
     return max(sub_mult, rows // sub_mult * sub_mult)
 
 
@@ -165,6 +173,7 @@ def selective_scan_pallas(
     # single M tile (1-D grid over T chunks) for any batch the VMEM budget
     # allows — the 2-D M-tiled grid exists only for very large B*F
     vmem_cap = _fwd_vmem_cap_rows(t_chunk, D_, N_, x.dtype.itemsize,
+                                  dt.dtype.itemsize, Bm.dtype.itemsize,
                                   return_boundaries)
     bm, n_mt, Bp = _m_tiling(Bp0, cap=min(cap, vmem_cap))
     Tp = -(-T_ // t_chunk) * t_chunk

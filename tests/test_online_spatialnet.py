@@ -220,6 +220,30 @@ def test_scan_m_tiled(rng):
                                rtol=2e-2)
 
 
+def test_scan_vmem_cap_models_fp32_dt(rng):
+    """Regression: the VMEM row cap must account each operand at its OWN
+    itemsize. ``dt`` is the fp32 softplus island even in bf16-mixed runs
+    (mamba.py), and modeling it at x's 2 bytes let the inference path
+    (return_boundaries=False, the largest cap) pick a single 1032-row tile
+    for the OnlineSpatialNet val shape [B*F=1032, T=251, D=192, N=16] whose
+    real footprint (82.4 MiB) blew the ~70 MiB scoped-vmem limit on chip
+    (round-4 moving-speaker fit, first val step)."""
+    from nbss_tpu.ops.ssm import _fwd_vmem_cap_rows, _m_tiling
+
+    # the failing shape: tc=8, D=192, N=16, bf16 x/B/C, fp32 dt
+    cap = _fwd_vmem_cap_rows(8, 192, 16, 2, 4, 2, boundaries=False)
+    # conservative real-footprint model measured from the chip failure:
+    # ~83.7 KiB per row at this shape; the scoped limit was ~70 MiB
+    assert cap * 83_687 < 70 * 1024 * 1024, cap
+    # and the resulting tiling must split B*F=1032 into >= 2 M tiles
+    bm, n_mt, _ = _m_tiling(1032, cap=min(1056, cap))
+    assert n_mt >= 2 and bm * 83_687 < 64 * 1024 * 1024, (bm, n_mt)
+    # mixed-precision cap can never exceed the all-bf16 cap
+    assert cap <= _fwd_vmem_cap_rows(8, 192, 16, 2, 2, 2, boundaries=False)
+    # and the boundary-writing training path is stricter still
+    assert _fwd_vmem_cap_rows(8, 192, 16, 2, 4, 2, True) <= cap
+
+
 def test_scan_bf16_inputs(rng):
     """bf16 activations (the training dtype) through the Pallas kernel track
     the fp32 XLA reference within bf16 tolerance."""
