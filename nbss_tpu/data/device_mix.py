@@ -329,6 +329,8 @@ class DeviceRirDataset:
         self.num_items = num_items
         self.shuffle_rir = shuffle_rir
         self.traj_points = traj_points
+        self.index_mode = False  # see set_index_mode / preload
+        self.room_meta = None
 
     def __len__(self):
         return self.num_items
@@ -340,11 +342,68 @@ class DeviceRirDataset:
         pad = [(0, 0)] * (a.ndim - 1) + [(0, L - a.shape[-1])]
         return np.pad(a, pad)
 
+    def set_index_mode(self, room_meta) -> None:
+        """Yield (room_idx, spk_idx, paras) int items instead of RIR arrays
+        — used with device-resident preloaded stacks (``preload``), so the
+        hot loop never uploads waveform-sized arrays. The host RNG draws are
+        kept call-for-call identical to the array mode, so the resulting
+        mixtures are bit-identical either way."""
+        assert len(room_meta) == len(self.rirs), (len(room_meta), len(self.rirs))
+        self.index_mode = True
+        self.room_meta = room_meta
+
+    def preload(self, budget_bytes: int):
+        """Load EVERY room once into rectangular stacks for device residency:
+        returns {'rir': [R, S, (P,) C, rir_len], 'rir_dp': ..., 'meta': [...]}
+        in the rooms' stored dtype (fp16 trajectory stacks stay fp16 — the
+        gather path casts to fp32, matching the array path's load-time cast),
+        or None when the corpus exceeds ``budget_bytes`` / rooms are ragged
+        (different source counts) — callers then fall back to per-item IO."""
+        rirs, dps, metas = [], [], []
+        for path in self.rirs:
+            z = np.load(path, allow_pickle=True)
+            if self.traj_points:
+                names, dp_names = list(z["rir"]), list(z["rir_dp"])
+                root = Path(path).parent
+                srcs, srcs_dp = [], []
+                for i in range(len(names)):
+                    r = np.load(root / str(names[i]))  # [N, C, L] (fp16)
+                    rdp = np.load(root / str(dp_names[i]),
+                                  allow_pickle=True)["arr"]
+                    sel = np.round(np.linspace(0, r.shape[0] - 1,
+                                               self.traj_points)).astype(int)
+                    dsel = np.round(np.linspace(0, rdp.shape[0] - 1,
+                                                self.traj_points)).astype(int)
+                    srcs.append(self._fit(r[sel], self.rir_len))
+                    srcs_dp.append(self._fit(rdp[dsel], self.dp_len))
+                rir, rir_dp = np.stack(srcs), np.stack(srcs_dp)
+            else:
+                rir = self._fit(np.asarray(z["rir"]), self.rir_len)
+                rir_dp = self._fit(np.asarray(z["rir_dp"]), self.dp_len)
+            if rirs and rir.shape != rirs[0].shape:
+                return None  # ragged source counts: not stackable
+            if not rirs and ((rir.nbytes + rir_dp.nbytes) * len(self.rirs)
+                             > budget_bytes):
+                return None
+            rirs.append(rir)
+            dps.append(rir_dp)
+            metas.append({"n_src": rir.shape[0], "RT60": float(z["RT60"])})
+        return {"rir": np.stack(rirs), "rir_dp": np.stack(dps), "meta": metas}
+
     def __getitem__(self, item):
         index, seed = item if isinstance(item, tuple) else (item, item)
         rng = np.random.default_rng(np.random.PCG64(seed))
-        path = (self.rirs[rng.integers(0, len(self.rirs))]
-                if self.shuffle_rir else self.rirs[index % len(self.rirs)])
+        ri = (int(rng.integers(0, len(self.rirs)))
+              if self.shuffle_rir else index % len(self.rirs))
+        path = self.rirs[ri]
+        if self.index_mode:
+            n_src = self.room_meta[ri]["n_src"]
+            spk_idx = rng.choice(n_src, size=self.num_spk,
+                                 replace=False).astype(np.int32)
+            paras = {"index": index, "seed": int(seed), "rir_file": path,
+                     "RT60": self.room_meta[ri]["RT60"],
+                     "saveto": [f"{index}_0.wav", f"{index}_1.wav"]}
+            return np.int32(ri), spk_idx, paras
         z = np.load(path, allow_pickle=True)
         if self.traj_points:  # trajectory rooms: per-source .npy RIR stacks
             names, dp_names = list(z["rir"]), list(z["rir_dp"])
@@ -397,18 +456,59 @@ class DeviceSyntheticDataModule(DataModule):
     noise_type: Tuple[str, ...] = ("babble", "white")
     mix_key: int = 0
     trajectory_points: int = 0  # >0: moving sources (P-point RIR stacks)
+    # None = auto: preload the whole RIR corpus into device HBM when it fits
+    # NBSS_RIR_PRELOAD_MB (default 1024 MB); True forces it, False disables.
+    preload_rir: Optional[bool] = None
 
     _cs_cache: Optional[Tuple[np.ndarray, np.ndarray]] = field(
         default=None, init=False, repr=False, compare=False)
+    _preload_cache: Dict = field(default_factory=dict, init=False, repr=False,
+                                 compare=False)
 
     def _subdir(self, stage_idx: int) -> str:
         return ("train", "validation", "test", "test")[stage_idx]
 
     def _make_dataset(self, stage_idx: int):
-        return DeviceRirDataset(
+        ds = DeviceRirDataset(
             self.rir_dir, self._subdir(stage_idx), self.num_spk, self.rir_len,
             self.dp_len, self.num_items[stage_idx], shuffle_rir=stage_idx == 0,
             traj_points=self.trajectory_points)
+        pre = self._preload_cache.get(self._subdir(stage_idx))
+        if pre is not None:
+            ds.set_index_mode(pre["meta"])
+        return ds
+
+    def _preloaded(self, stage_idx: int):
+        """Device-resident RIR stacks for a stage, uploaded ONCE per process.
+
+        With the stacks resident, the training hot loop uploads only int32
+        (room, source) indices per step instead of ~20 MB of RIR arrays —
+        the right layout for a single-core host anyway, and essential where
+        host->device transfers are expensive or leak client-side staging
+        (observed on the tunneled axon backend: every upload pinned its
+        ~22 MB staging copy, OOM-killing a 2 h fit at 130 GB host RSS)."""
+        import os
+
+        sub = self._subdir(stage_idx)
+        if sub in self._preload_cache:
+            return self._preload_cache[sub]
+        enabled = self.preload_rir
+        if enabled is None:
+            enabled = os.environ.get("NBSS_RIR_PRELOAD", "1") != "0"
+        pre = None
+        if enabled:
+            ds = DeviceRirDataset(
+                self.rir_dir, sub, self.num_spk, self.rir_len, self.dp_len,
+                1, shuffle_rir=False, traj_points=self.trajectory_points)
+            budget = (1 << 62 if self.preload_rir else
+                      int(os.environ.get("NBSS_RIR_PRELOAD_MB", "1024")) << 20)
+            raw = ds.preload(budget)
+            if raw is not None:
+                pre = {"rir": jnp.asarray(raw["rir"]),
+                       "rir_dp": jnp.asarray(raw["rir_dp"]),
+                       "meta": raw["meta"]}
+        self._preload_cache[sub] = pre
+        return pre
 
     def _cs(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._cs_cache is None:
@@ -433,6 +533,7 @@ class DeviceSyntheticDataModule(DataModule):
         return self._cs_cache
 
     def _loader(self, stage_idx: int, epoch: int = 0, shuffle=None):
+        pre = self._preloaded(stage_idx)  # before _make_dataset (index mode)
         base = super()._loader(stage_idx, epoch, shuffle)
         cs_re, cs_im = self._cs()
         T = int(self.audio_time_len[stage_idx] * self.sample_rate)
@@ -448,8 +549,18 @@ class DeviceSyntheticDataModule(DataModule):
         W = (jnp.asarray(trajectory_windows(T, self.trajectory_points))
              if self.trajectory_points else None)
 
-        def mix_fn(key, seeds, rir, rir_dp):
-            return mix(key, seeds, rir, rir_dp, traj_win=W)
+        if pre is not None:
+            stack_r, stack_dp = pre["rir"], pre["rir_dp"]
+
+            def mix_fn(key, seeds, room, spk):
+                # device gather from the resident stacks; the fp32 cast
+                # mirrors the array path's load-time cast exactly
+                r = stack_r[room[:, None], spk].astype(jnp.float32)
+                rdp = stack_dp[room[:, None], spk].astype(jnp.float32)
+                return mix(key, seeds, r, rdp, traj_win=W)
+        else:
+            def mix_fn(key, seeds, rir, rir_dp):
+                return mix(key, seeds, rir, rir_dp, traj_win=W)
 
         # distinct key stream per stage so train/val/test never collide
         return DeviceMixLoader(

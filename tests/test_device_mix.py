@@ -282,3 +282,65 @@ def test_trajectory_datamodule_end_to_end(tmp_path):
     assert np.all(np.isfinite(np.asarray(x)))
     x2, ys2, _ = next(iter(dm.train_dataloader()))
     np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+
+def test_preload_gather_matches_per_item_io(tmp_path):
+    """Device-resident preloaded stacks + index gather produce BIT-IDENTICAL
+    batches to the per-item file-IO path (same host RNG draws, same fp32
+    cast point) — the preload exists so the training hot loop uploads only
+    int32 indices (the per-step ~20 MB RIR uploads OOM-killed a 2 h fit on
+    the tunneled backend, which pins every host->device staging copy)."""
+    _make_tiny_corpus(tmp_path)
+    kw = dict(rir_dir=str(tmp_path), num_spk=2, sample_rate=8000,
+              audio_time_len=(1.0, 1.0, 1.0, 1.0), num_items=(4, 2, 2, 2),
+              rir_len=2048, dp_len=1024, batch_size=(2, 2),
+              noise_type=("white",), num_workers=0, seeds=(5, 2, 3, 3))
+    dm_io = DeviceSyntheticDataModule(preload_rir=False, **kw)
+    dm_pre = DeviceSyntheticDataModule(preload_rir=True, **kw)
+    for mk in ("train_dataloader", "val_dataloader"):
+        (x0, y0, p0), = list(getattr(dm_io, mk)())[:1]
+        (x1, y1, p1), = list(getattr(dm_pre, mk)())[:1]
+        np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        assert [p["seed"] for p in p0] == [p["seed"] for p in p1]
+        assert [p["rir_file"] for p in p0] == [p["rir_file"] for p in p1]
+        assert [p["RT60"] for p in p0] == pytest.approx(
+            [p["RT60"] for p in p1])
+
+
+def test_preload_gather_matches_trajectory(tmp_path):
+    """Same bit-parity for moving sources (per-source fp16 trajectory
+    stacks, P-point subsample baked in at preload time)."""
+    from nbss_tpu.sim.config import RirConfigSampler
+    from nbss_tpu.sim.generate import render_room
+
+    fs = 8000
+    s = RirConfigSampler(spk_num=2, noise_num=0, RT60_lim=(0.13, 0.16),
+                         trajectory=("4points+sin", 0.5), fs=fs, seed=11)
+    for idx, sub in [(0, "train"), (1, "validation")]:
+        render_room(s.sample(idx), fs, str(tmp_path), sub, split_trajectory=8)
+    kw = dict(rir_dir=str(tmp_path), num_spk=2, sample_rate=fs,
+              audio_time_len=(1.0, 1.0, 1.0, 1.0), num_items=(2, 2, 2, 2),
+              rir_len=2048, dp_len=512, trajectory_points=3,
+              batch_size=(2, 2), num_workers=0, seeds=(5, 2, 3, 3))
+    x0, y0, _ = next(iter(DeviceSyntheticDataModule(
+        preload_rir=False, **kw).train_dataloader()))
+    x1, y1, _ = next(iter(DeviceSyntheticDataModule(
+        preload_rir=True, **kw).train_dataloader()))
+    np.testing.assert_array_equal(np.asarray(x0), np.asarray(x1))
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_preload_budget_fallback(tmp_path, monkeypatch):
+    """A corpus above NBSS_RIR_PRELOAD_MB falls back to per-item IO
+    (preload() returns None) and the loader still yields batches."""
+    _make_tiny_corpus(tmp_path)
+    monkeypatch.setenv("NBSS_RIR_PRELOAD_MB", "0")
+    dm = DeviceSyntheticDataModule(
+        rir_dir=str(tmp_path), num_spk=2, sample_rate=8000,
+        audio_time_len=(1.0, 1.0, 1.0, 1.0), num_items=(2, 2, 2, 2),
+        rir_len=2048, dp_len=1024, batch_size=(2, 2),
+        noise_type=("white",), num_workers=0, seeds=(5, 2, 3, 3))
+    x, ys, _ = next(iter(dm.train_dataloader()))
+    assert dm._preload_cache.get("train") is None
+    assert x.shape == (2, 4, 8000) and ys.shape == (2, 2, 4, 8000)
