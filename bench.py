@@ -42,7 +42,7 @@ BASELINE_AUDIO_SEC_PER_SEC = 5.0 * 16
 BUDGET_S = float(os.environ.get("NBSS_BENCH_BUDGET_S", "480"))
 
 _T0 = time.monotonic()
-_best = {"value": None}
+_best = {"value": None, "chip_tflops": None, "chip_pct_of_spec": None}
 _printed = threading.Lock()
 
 
@@ -56,12 +56,19 @@ def _emit_and_exit(code: int = 0) -> None:
         return
     v = _best["value"]
     if v is not None:
-        print(json.dumps({
+        rec = {
             "metric": "spatialnet_small_6ch_separation_throughput",
             "value": round(v, 2),
             "unit": "audio-sec/sec/chip",
             "vs_baseline": round(v / BASELINE_AUDIO_SEC_PER_SEC, 3),
-        }), flush=True)
+        }
+        # Hardware context travels with the result: the tunneled chip has
+        # been observed at ~36-100% of v5e bf16 spec across sessions, which
+        # moves the headline ~2x for hardware reasons alone (BENCH_NOTES).
+        if _best["chip_pct_of_spec"] is not None:
+            rec["chip_tflops_bf16"] = round(_best["chip_tflops"], 1)
+            rec["chip_pct_of_spec"] = round(_best["chip_pct_of_spec"], 1)
+        print(json.dumps(rec), flush=True)
     else:
         _log("no result measured before exit")
     os._exit(code if v is not None else 1)
@@ -104,6 +111,8 @@ def main():
         t0 = time.perf_counter()
         float(_mm(ones, 30))
         tf = 2 * n**3 * 30 / (time.perf_counter() - t0) / 1e12
+        _best["chip_tflops"] = tf
+        _best["chip_pct_of_spec"] = tf / 197 * 100
         _log(f"chip health: {d.device_kind} ({d.platform}), "
              f"{tf:.0f} bf16 TFLOP/s = {tf / 197 * 100:.0f}% of v5e spec")
     except Exception as e:  # never let the probe kill the bench

@@ -170,7 +170,12 @@ def run(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     arch_name = type(module.arch).__name__
 
     ckpt_path = cfg.get("ckpt_path")
-    if sub == "fit" or ckpt_path is None:
+    if sub == "fit" and ckpt_path is not None:
+        # resume logs into the checkpoint's own version dir, like the
+        # reference's resumed fit (base_cli.py:60-69: version parsed from the
+        # ckpt path re-routes the logger) — metrics.jsonl/events append
+        log_dir = os.path.dirname(os.path.dirname(os.path.abspath(ckpt_path)))
+    elif sub == "fit" or ckpt_path is None:
         root = os.path.join(cfg.get("log_root", "logs"), arch_name)
         log_dir = os.path.join(root, f"version_{_next_version(root)}")
     else:

@@ -402,7 +402,7 @@ class DeviceRirDataset:
                                  replace=False).astype(np.int32)
             paras = {"index": index, "seed": int(seed), "rir_file": path,
                      "RT60": self.room_meta[ri]["RT60"],
-                     "saveto": [f"{index}_0.wav", f"{index}_1.wav"]}
+                     "saveto": [f"{index}_{s}.wav" for s in range(self.num_spk)]}
             return np.int32(ri), spk_idx, paras
         z = np.load(path, allow_pickle=True)
         if self.traj_points:  # trajectory rooms: per-source .npy RIR stacks
@@ -429,7 +429,7 @@ class DeviceRirDataset:
             rir_dp = self._fit(rir_dp[spk_idx], self.dp_len)
         paras = {"index": index, "seed": int(seed), "rir_file": path,
                  "RT60": float(z["RT60"]),
-                 "saveto": [f"{index}_0.wav", f"{index}_1.wav"]}
+                 "saveto": [f"{index}_{s}.wav" for s in range(self.num_spk)]}
         return rir, rir_dp, paras
 
 

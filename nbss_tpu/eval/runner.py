@@ -43,22 +43,52 @@ def run_test(trainer, module, test_loader, log_dir: str,
              write_examples: int = 200,
              mchunk=None,
              host_metric_workers: int = 4,
-             length_bucket_s: float = 1.0) -> Dict:
+             length_bucket_s: float = 1.0,
+             flush_every: int = 16) -> Dict:
     """length_bucket_s: full-length test utterances are zero-padded up to the
     next multiple of this many seconds before the jitted test step, so XLA
     compiles once per bucket instead of once per unique length (the
     reference's eager torch has no such constraint; test/predict use
     audio_time_len=None, sms_wsj_plus.py:276). Metrics are computed on the
     exact original lengths; the logged uPIT loss is over the padded signals
-    (zero tails on predictions and targets alike)."""
+    (zero tails on predictions and targets alike).
+
+    Results are written INCREMENTALLY: each item's device-metric result is
+    appended to ``results_incremental.jsonl`` as soon as it exists, and
+    ``results_mean.json`` is rewritten (with ``"partial": true``) every
+    ``flush_every`` items — an interrupted eval always leaves a parseable
+    partial artifact instead of an examples-only directory. Host metrics
+    (PESQ/STOI, reference general_steps.py:36-41) run concurrently with the
+    device loop in a spawn pool and are merged into the final files."""
     os.makedirs(log_dir, exist_ok=True)
     examples_dir = os.path.join(log_dir, "examples")
     results: List[Dict] = []
-    host_inputs = []
+    host_async = []  # per-item AsyncResult (or None when the pool is down)
 
     import jax
 
     test_step = jax.jit(module.test_step)
+
+    inc_path = os.path.join(log_dir, "results_incremental.jsonl")
+    inc_f = open(inc_path, "w")
+    mean_path = os.path.join(log_dir, "results_mean.json")
+
+    def _flush_mean(partial: bool) -> Dict:
+        mean = _mean_of(results)
+        rec = ({"partial": True, "num_items": len(results), **mean}
+               if partial else mean)
+        tmp = mean_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1)
+        os.replace(tmp, mean_path)
+        return mean
+
+    # host metrics overlap the device loop (reference runs them after the
+    # epoch in an mp.Pool; here the pool chews items while the TPU evals)
+    try:
+        pool = get_context("spawn").Pool(host_metric_workers)
+    except Exception:
+        pool = None
 
     seen = set()
     item_idx = 0
@@ -90,9 +120,10 @@ def run_test(trainer, module, test_loader, log_dir: str,
             result.update(im)
             result.update(imp)
             result.update(m)
-            host_inputs.append((metrics, yr_hat, yr,
-                                np.broadcast_to(x_ref, yr.shape).copy(), fs,
-                                "host", mchunk))
+            hi = (metrics, yr_hat, yr,
+                  np.broadcast_to(x_ref, yr.shape).copy(), fs, "host", mchunk)
+            host_async.append(pool.apply_async(cal_metrics, hi)
+                              if pool is not None else hi)
 
             if write_examples < 0 or item_idx < write_examples:
                 _write_example(examples_dir, wavname, x_ref, yr, yr_hat, fs,
@@ -100,18 +131,24 @@ def run_test(trainer, module, test_loader, log_dir: str,
 
             result["paras"] = _jsonable(para)
             results.append(result)
+            inc_f.write(json.dumps(result, default=str) + "\n")
+            inc_f.flush()
             item_idx += 1
+            if item_idx % flush_every == 0:
+                _flush_mean(partial=True)
 
-    # host metrics in a process pool (reference general_steps.py:36-41)
-    if host_inputs:
+    # collect host metrics (already computed concurrently when pooled)
+    for r, h in zip(results, host_async):
         try:
-            with get_context("spawn").Pool(host_metric_workers) as pool:
-                host_out = pool.starmap(cal_metrics, host_inputs)
+            m, im, imp = h.get() if pool is not None else cal_metrics(*h)
         except Exception:
-            host_out = [cal_metrics(*hi) for hi in host_inputs]
-        for r, (m, im, imp) in zip(results, host_out):
-            merged = {**im, **imp, **m}
-            r.update({k: v for k, v in merged.items() if v is not None})
+            continue  # per-item degrade-to-None (reference metrics.py:142-149)
+        merged = {**im, **imp, **m}
+        r.update({k: v for k, v in merged.items() if v is not None})
+    if pool is not None:
+        pool.close()
+        pool.join()
+    inc_f.close()
 
     # multi-host: each process writes its shard; rank 0 merges after a
     # barrier (the all_gather_object analogue, general_steps.py:75-91, over

@@ -111,7 +111,7 @@ _VMEM_BUDGET = 64 * 1024 * 1024
 
 
 def _fwd_vmem_cap_rows(tc: int, D_: int, N_: int, x_item: int, dt_item: int,
-                       bc_item: int, boundaries: bool) -> int:
+                       b_item: int, c_item: int, boundaries: bool) -> int:
     """Max M-tile rows the forward kernel can hold inside the scoped-VMEM
     budget. Models the compiler's stack accounting: each [tc, bm, feat]
     in/out block pads feat to 128 lanes, input blocks are pipelined up to
@@ -135,10 +135,10 @@ def _fwd_vmem_cap_rows(tc: int, D_: int, N_: int, x_item: int, dt_item: int,
     # narrowest dtype's sublane multiple (16 for 2-byte dtypes, 8 for
     # fp32), so the returned cap must be a multiple of it or small-bm bf16
     # blocks cost up to 2x the modeled per-row bytes (worst at bm=8).
-    sub_mult = max(8, 32 // min(x_item, dt_item, bc_item))
+    sub_mult = max(8, 32 // min(x_item, dt_item, b_item, c_item))
     per_row = (
         3 * tc * lane(D_) * (x_item + dt_item)  # x, dt in-blocks, pipelined
-        + 3 * 2 * tc * lane(N_) * bc_item       # b, c in-blocks
+        + 3 * tc * lane(N_) * (b_item + c_item)  # b, c in-blocks
         + 2 * tc * lane(D_) * x_item            # y out-block
         + sub(N_) * lane(D_) * 4                # h state scratch (fp32)
     )
@@ -174,7 +174,7 @@ def selective_scan_pallas(
     # allows — the 2-D M-tiled grid exists only for very large B*F
     vmem_cap = _fwd_vmem_cap_rows(t_chunk, D_, N_, x.dtype.itemsize,
                                   dt.dtype.itemsize, Bm.dtype.itemsize,
-                                  return_boundaries)
+                                  Cm.dtype.itemsize, return_boundaries)
     bm, n_mt, Bp = _m_tiling(Bp0, cap=min(cap, vmem_cap))
     Tp = -(-T_ // t_chunk) * t_chunk
     n_chunks = Tp // t_chunk

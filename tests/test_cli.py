@@ -95,6 +95,21 @@ def test_fit_and_test_and_predict(tmp_path):
     items = json.load(open(results_files[0]))
     assert {"wavname", "SI_SDR", "input_SI_SDR"} <= set(items[0].keys())
     assert glob.glob(os.path.join(res["log_dir"], "examples", "*", "prediction_0.wav"))
+    # incremental artifact: one parseable JSONL line per item, written as the
+    # eval progressed (an interrupted eval leaves these + results_mean.json)
+    inc = os.path.join(res["log_dir"], "results_incremental.jsonl")
+    assert os.path.exists(inc)
+    inc_items = [json.loads(l) for l in open(inc)]
+    assert len(inc_items) == res["num_items"]
+    assert {"wavname", "SI_SDR"} <= set(inc_items[0].keys())
+
+    # resume: fit with ckpt_path re-enters the SAME version dir (reference
+    # base_cli.py:60-69) and continues from the stored epoch
+    args3 = _base_args(tmp_path, ("--ckpt_path", ckpt))
+    args3[args3.index("--trainer.max_epochs") + 1] = "2"
+    out3 = run(["fit", *args3])
+    assert os.path.abspath(out3["log_dir"]) == os.path.abspath(log_dir)
+    assert os.path.isdir(os.path.join(log_dir, "checkpoints", "epoch1"))
 
     # predict
     pres = run(["predict", *_base_args(tmp_path, ("--ckpt_path", ckpt))])

@@ -231,7 +231,7 @@ def test_scan_vmem_cap_models_fp32_dt(rng):
     from nbss_tpu.ops.ssm import _fwd_vmem_cap_rows, _m_tiling
 
     # the failing shape: tc=8, D=192, N=16, bf16 x/B/C, fp32 dt
-    cap = _fwd_vmem_cap_rows(8, 192, 16, 2, 4, 2, boundaries=False)
+    cap = _fwd_vmem_cap_rows(8, 192, 16, 2, 4, 2, 2, boundaries=False)
     # conservative real-footprint model measured from the chip failure:
     # ~83.7 KiB per row at this shape; the scoped limit was ~70 MiB
     assert cap * 83_687 < 70 * 1024 * 1024, cap
@@ -239,9 +239,13 @@ def test_scan_vmem_cap_models_fp32_dt(rng):
     bm, n_mt, _ = _m_tiling(1032, cap=min(1056, cap))
     assert n_mt >= 2 and bm * 83_687 < 64 * 1024 * 1024, (bm, n_mt)
     # mixed-precision cap can never exceed the all-bf16 cap
-    assert cap <= _fwd_vmem_cap_rows(8, 192, 16, 2, 2, 2, boundaries=False)
+    assert cap <= _fwd_vmem_cap_rows(8, 192, 16, 2, 2, 2, 2, boundaries=False)
     # and the boundary-writing training path is stricter still
-    assert _fwd_vmem_cap_rows(8, 192, 16, 2, 4, 2, True) <= cap
+    assert _fwd_vmem_cap_rows(8, 192, 16, 2, 4, 2, 2, True) <= cap
+    # a wider C operand must shrink the cap (ADVICE round 4: B and C are
+    # accounted at separate itemsizes, not at B's alone)
+    assert (_fwd_vmem_cap_rows(8, 192, 16, 2, 4, 2, 4, boundaries=False)
+            <= cap)
 
 
 def test_scan_bf16_inputs(rng):
