@@ -55,6 +55,22 @@ def _nb_pesq(fs: int, t: np.ndarray, p: np.ndarray) -> Optional[float]:
     return float(nb_pesq(fs, t, p))
 
 
+def _wb_pesq(fs: int, t: np.ndarray, p: np.ndarray) -> Optional[float]:
+    """WB-PESQ via the C ``pesq`` wheel when present; otherwise the native
+    P.862.2-chain fallback (eval/pesq_native.py, reported as
+    ``WB_PESQ_est``) unless NBSS_PESQ_NATIVE=0. Undefined at 8 kHz either
+    way (reference metrics.py:103-105)."""
+    if fs == 8000:
+        return None
+    if _pesq is not None:
+        return float(_pesq(fs, t, p, "wb"))
+    if os.environ.get("NBSS_PESQ_NATIVE", "1") == "0":
+        return None
+    from nbss_tpu.eval.pesq_native import wb_pesq
+
+    return float(wb_pesq(fs, t, p))
+
+
 def _one_metric(name: str, preds: np.ndarray, target: np.ndarray, fs: int) -> Optional[float]:
     """Mean metric over sources; None if unavailable, failed, or non-finite
     (e.g. STOI of a near-silent target segment)."""
@@ -81,9 +97,10 @@ def _one_metric_raw(name: str, preds: np.ndarray, target: np.ndarray, fs: int) -
                 return None
             return float(np.mean(vals))
         if name == "WB_PESQ":
-            if _pesq is None or fs == 8000:  # WB-PESQ undefined at 8 kHz
+            vals = [_wb_pesq(fs, t, p) for p, t in zip(preds, target)]
+            if any(v is None for v in vals):
                 return None
-            return float(np.mean([_pesq(fs, t, p, "wb") for p, t in zip(preds, target)]))
+            return float(np.mean(vals))
         if name == "STOI":
             return float(np.mean([stoi(t, p, fs) for p, t in zip(preds, target)]))
         if name == "eSTOI":
@@ -141,7 +158,8 @@ def cal_metrics(
                                        else None)
             continue
         key = m
-        if m == "NB_PESQ" and _pesq is None and v is not None:
+        if (m in ("NB_PESQ", "WB_PESQ") and _pesq is None
+                and v is not None):
             key = m + _EST_SUFFIX  # native estimator, not ITU P.862
         out[key] = v
         inp[f"input_{key}"] = vi

@@ -27,13 +27,17 @@ this module are published):
   sample clock (model output vs direct-path target), so alignment reduces
   to the identity; a single whole-signal cross-correlation guard handles
   accidental constant offsets.
-- NB mode only (8 kHz; 16 kHz input is decimated). WB-PESQ (P.862.2) is
-  not provided — at 8 kHz the reference skips it too (metrics.py:103-105).
+- NB mode (8 kHz; 16 kHz input is decimated) plus a WB mode (``wb_pesq``,
+  16 kHz only) following the P.862.2 variant: the IRS receive filter is
+  replaced by a flat >=100 Hz bandpass, the Bark layout spans the 8 kHz
+  band with 49 bands, and the output map is the P.862.2 MOS-LQO logistic
+  (ceiling ~4.64). At 8 kHz WB is undefined — the reference skips it too
+  (metrics.py:103-105).
 
 Enabled by default when the C library is missing, and reported under the
-key ``NB_PESQ_est`` — never ``NB_PESQ``, which is reserved for the ITU
-implementation (eval/metrics.py). Set NBSS_PESQ_NATIVE=0 to force the
-strict behavior (metric -> None).
+keys ``NB_PESQ_est`` / ``WB_PESQ_est`` — never ``NB_PESQ`` / ``WB_PESQ``,
+which are reserved for the ITU implementation (eval/metrics.py). Set
+NBSS_PESQ_NATIVE=0 to force the strict behavior (metric -> None).
 
 Conformance bound (pinned by tests/test_eval_metrics.py): clean reference
 scores at the P.862.1 ceiling (4.5-4.6); additive-noise degradations are
@@ -83,49 +87,58 @@ _IRS_BREAKPOINTS = np.array([
 ])
 
 
-def _irs_filter(x: np.ndarray) -> np.ndarray:
-    """Apply the IRS receive gain in the FFT domain (whole signal)."""
+# P.862.2 wideband input characteristic: flat >= 100 Hz, roll-off below
+# (the WB variant drops the telephone-band IRS shaping).
+_WB_BREAKPOINTS = np.array([
+    [0.0, -500.0], [50.0, -40.0], [80.0, -10.0], [100.0, 0.0],
+    [8000.0, 0.0],
+])
+
+
+def _input_filter(x: np.ndarray, fs: int, breakpoints: np.ndarray) -> np.ndarray:
+    """Apply a piecewise-linear receive gain in the FFT domain."""
     n = len(x)
     X = np.fft.rfft(x)
-    f = np.fft.rfftfreq(n, 1.0 / _FS)
-    gain_db = np.interp(f, _IRS_BREAKPOINTS[:, 0], _IRS_BREAKPOINTS[:, 1])
+    f = np.fft.rfftfreq(n, 1.0 / fs)
+    gain_db = np.interp(f, breakpoints[:, 0], breakpoints[:, 1])
     X *= 10.0 ** (gain_db / 20.0)
     return np.fft.irfft(X, n=n)
 
 
-def _level_align(x: np.ndarray) -> np.ndarray:
+def _level_align(x: np.ndarray, fs: int = _FS) -> np.ndarray:
     """Scale so the 350-3250 Hz band power matches the P.862 target."""
     n = len(x)
     X = np.fft.rfft(x)
-    f = np.fft.rfftfreq(n, 1.0 / _FS)
+    f = np.fft.rfftfreq(n, 1.0 / fs)
     band = (f >= 350.0) & (f <= 3250.0)
     # Parseval: mean power of the band-limited signal
     power = (np.abs(X[band]) ** 2).sum() * 2.0 / (n * n)
     return x * np.sqrt(_TARGET_POWER / max(power, 1e-20))
 
 
-def _frames(x: np.ndarray) -> np.ndarray:
-    """[N, FRAME//2+1] power spectra of 50%-overlapped Hann frames."""
-    n_frames = max(0, (len(x) - _FRAME) // _HOP + 1)
-    idx = np.arange(n_frames)[:, None] * _HOP + np.arange(_FRAME)[None, :]
-    w = np.hanning(_FRAME + 1)[:-1]
+def _frames(x: np.ndarray, frame: int = _FRAME, hop: int = _HOP) -> np.ndarray:
+    """[N, frame//2+1] power spectra of 50%-overlapped Hann frames."""
+    n_frames = max(0, (len(x) - frame) // hop + 1)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
+    w = np.hanning(frame + 1)[:-1]
     F = np.fft.rfft(x[idx] * w, axis=-1)
     return (np.abs(F) ** 2).astype(np.float64)
 
 
 class _BarkMap:
-    """Precomputed FFT-bin -> Bark-band aggregation for the NB layout."""
+    """Precomputed FFT-bin -> Bark-band aggregation (NB or WB layout)."""
 
-    def __init__(self):
-        f = np.fft.rfftfreq(_FRAME, 1.0 / _FS)
-        edges_z = np.linspace(_bark(50.0), _bark(_FS / 2), _NBARK + 1)
+    def __init__(self, fs: int = _FS, frame: int = _FRAME,
+                 nbark: int = _NBARK, fmin: float = 50.0):
+        f = np.fft.rfftfreq(frame, 1.0 / fs)
+        edges_z = np.linspace(_bark(fmin), _bark(fs / 2), nbark + 1)
         self.centers_hz = np.interp(
             0.5 * (edges_z[:-1] + edges_z[1:]), _bark(f), f)
         self.width_z = np.diff(edges_z)  # uniform, but keep the vector
-        band = np.clip(np.searchsorted(edges_z, _bark(f)) - 1, -1, _NBARK - 1)
-        band[f < 50.0] = -1
-        self.matrix = np.zeros((_NBARK, len(f)))
-        for b in range(_NBARK):
+        band = np.clip(np.searchsorted(edges_z, _bark(f)) - 1, -1, nbark - 1)
+        band[f < fmin] = -1
+        self.matrix = np.zeros((nbark, len(f)))
+        for b in range(nbark):
             sel = band == b
             if sel.any():
                 self.matrix[b, sel] = 1.0 / sel.sum()  # mean power per band
@@ -139,7 +152,7 @@ class _BarkMap:
         return spectra @ self.matrix.T  # [N, NBARK]
 
 
-_BARK_MAP: _BarkMap | None = None
+_BARK_MAPS: dict[str, _BarkMap] = {}
 
 
 def _loudness(bark_pow: np.ndarray, bm: _BarkMap) -> np.ndarray:
@@ -152,10 +165,11 @@ def _loudness(bark_pow: np.ndarray, bm: _BarkMap) -> np.ndarray:
     return np.where(bark_pow > bm.threshold[None, :], s, 0.0) * 0.13
 
 
-def _align(ref: np.ndarray, deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _align(ref: np.ndarray, deg: np.ndarray,
+           fs: int = _FS) -> tuple[np.ndarray, np.ndarray]:
     """Constant-offset guard: align by the whole-signal cross-correlation
     peak within ±64 ms, then trim to the common span."""
-    max_lag = _FS // 16
+    max_lag = fs // 16
     n = min(len(ref), len(deg))
     a, b = ref[:n] - ref[:n].mean(), deg[:n] - deg[:n].mean()
     nfft = 1 << int(n + max_lag).bit_length()
@@ -177,7 +191,6 @@ def nb_pesq(fs: int, ref: np.ndarray, deg: np.ndarray) -> float:
     fs: 8000 or 16000 (16 kHz input is low-passed and decimated to 8 kHz).
     ref/deg: 1-D float arrays on any common scale.
     """
-    global _BARK_MAP
     ref = np.asarray(ref, np.float64).ravel()
     deg = np.asarray(deg, np.float64).ravel()
     if fs == 16000:
@@ -187,31 +200,62 @@ def nb_pesq(fs: int, ref: np.ndarray, deg: np.ndarray) -> float:
         deg = resample_poly(deg, 1, 2)
     elif fs != _FS:
         raise ValueError(f"fs must be 8000 or 16000, got {fs}")
-    if _BARK_MAP is None:
-        _BARK_MAP = _BarkMap()
-    bm = _BARK_MAP
+    if "nb" not in _BARK_MAPS:
+        _BARK_MAPS["nb"] = _BarkMap()
+    raw = _pesq_raw(ref, deg, _FS, _FRAME, _HOP, _BARK_MAPS["nb"],
+                    _IRS_BREAKPOINTS)
+    # P.862.1 raw-score -> MOS-LQO mapping
+    return 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
 
-    ref, deg = _align(ref, deg)
-    if len(ref) < 4 * _FRAME:
+
+def wb_pesq(fs: int, ref: np.ndarray, deg: np.ndarray) -> float:
+    """Wideband PESQ MOS-LQO (P.862.2-style), native fallback.
+
+    fs must be 16000 — WB-PESQ is undefined at 8 kHz (the reference skips
+    it there, metrics.py:103-105). Same estimator honesty contract as
+    ``nb_pesq`` (module docstring): reported as ``WB_PESQ_est``, tracks
+    relative quality, not bit-identical to the ITU binary.
+    """
+    if fs != 16000:
+        raise ValueError(f"WB-PESQ requires fs=16000, got {fs}")
+    ref = np.asarray(ref, np.float64).ravel()
+    deg = np.asarray(deg, np.float64).ravel()
+    if "wb" not in _BARK_MAPS:
+        # 32 ms frames at 16 kHz, 49 Bark bands over 100 Hz - 8 kHz
+        _BARK_MAPS["wb"] = _BarkMap(fs=16000, frame=2 * _FRAME, nbark=49,
+                                    fmin=100.0)
+    raw = _pesq_raw(ref, deg, 16000, 2 * _FRAME, 2 * _HOP, _BARK_MAPS["wb"],
+                    _WB_BREAKPOINTS)
+    # P.862.2 raw-score -> MOS-LQO mapping (ceiling ~4.64 at raw 4.5)
+    return 0.999 + 4.0 / (1.0 + np.exp(-1.3669 * raw + 3.8224))
+
+
+def _pesq_raw(ref: np.ndarray, deg: np.ndarray, fs: int, frame: int,
+              hop: int, bm: _BarkMap, breakpoints: np.ndarray) -> float:
+    """Shared P.862 perceptual chain -> raw score in [-0.5, 4.5]."""
+    nbark = bm.matrix.shape[0]
+
+    ref, deg = _align(ref, deg, fs)
+    if len(ref) < 4 * frame:
         raise ValueError("signals too short for PESQ (need >= 128 ms)")
 
-    ref = _irs_filter(_level_align(ref))
-    deg = _irs_filter(_level_align(deg))
+    ref = _input_filter(_level_align(ref, fs), fs, breakpoints)
+    deg = _input_filter(_level_align(deg, fs), fs, breakpoints)
 
-    br = bm(_frames(ref))  # [N, NBARK] bark-band powers
-    bd = bm(_frames(deg))
+    br = bm(_frames(ref, frame, hop))  # [N, NBARK] bark-band powers
+    bd = bm(_frames(deg, frame, hop))
 
     # --- partial frequency compensation (linear-filter equalization):
     # per-band ratio of speech-active mean spectra, clipped to +-20 dB,
     # applied to the reference (P.862 compensates the time-invariant
     # transfer characteristic rather than scoring it).
-    active = br.sum(axis=1) > 1e2 * _NBARK
+    active = br.sum(axis=1) > 1e2 * nbark
     if active.any():
         num = bd[active].mean(axis=0) + 1e3
         den = br[active].mean(axis=0) + 1e3
         eq = np.clip(num / den, 10.0 ** -2.0, 10.0 ** 2.0)
     else:
-        eq = np.ones(_NBARK)
+        eq = np.ones(nbark)
     br_eq = br * eq[None, :]
 
     # --- short-term gain compensation: per-frame audible-power ratio,
@@ -270,6 +314,4 @@ def nb_pesq(fs: int, ref: np.ndarray, deg: np.ndarray) -> float:
     d_asym = _aggregate(da_frame)
 
     raw = 4.5 - 0.1 * d_sym - 0.0309 * d_asym
-    raw = float(np.clip(raw, -0.5, 4.5))
-    # P.862.1 raw-score -> MOS-LQO mapping
-    return 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
+    return float(np.clip(raw, -0.5, 4.5))

@@ -15,6 +15,7 @@ train and eval modes (NBC2.py:57-62).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -81,40 +82,84 @@ class NBC2Block(nn.Module):
     share_along_sequence_dim: bool = False
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    fused_block: Optional[bool] = None  # None = NBSS_FUSED_BLOCK env
 
-    @nn.compact
+    def setup(self):
+        mk = lambda kind: _NBC2Norm(kind, self.n_conv_groups,
+                                    self.share_along_sequence_dim,
+                                    self.param_dtype)
+        self.norm1 = mk(self.norms[0])
+        self.self_attn = MultiheadAttention(self.n_heads, dtype=self.dtype,
+                                            param_dtype=self.param_dtype)
+        self.norm2 = mk(self.norms[1])
+        self.linear1 = _XavierDense(self.dim_ffn, dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
+        self.conv1 = Conv1d(self.dim_ffn, self.conv_kernel_size,
+                            groups=self.n_conv_groups, dtype=self.dtype,
+                            param_dtype=self.param_dtype)
+        self.conv2 = Conv1d(self.dim_ffn, self.conv_kernel_size,
+                            groups=self.n_conv_groups, dtype=self.dtype,
+                            param_dtype=self.param_dtype)
+        self.conv_norm = mk(self.norms[2])
+        self.conv3 = Conv1d(self.dim_ffn, self.conv_kernel_size,
+                            groups=self.n_conv_groups, dtype=self.dtype,
+                            param_dtype=self.param_dtype)
+        self.linear2 = _XavierDense(self.dim_hidden, dtype=self.dtype,
+                                    param_dtype=self.param_dtype)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, group_size: int, deterministic: bool = True,
                  att_mask: Optional[jnp.ndarray] = None):
         """x: [BF, T, H] (each row one narrow-band sequence)."""
-        mk = lambda kind, name: _NBC2Norm(
-            kind, self.n_conv_groups, self.share_along_sequence_dim,
-            self.param_dtype, name=name)
-
         # self-attention block (NBC2.py:208-220)
-        y = mk(self.norms[0], "norm1")(x, group_size)
-        y = MultiheadAttention(self.n_heads, dtype=self.dtype,
-                               param_dtype=self.param_dtype, name="self_attn")(y, att_mask)
-        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        if self._use_fused_block(att_mask, deterministic):
+            x = self._fused_attn_block(x)
+        else:
+            y = self.norm1(x, group_size)
+            y = self.self_attn(y, att_mask)
+            x = x + self.drop(y, deterministic=deterministic)
 
         # conv feed-forward block (NBC2.py:175-189, 223-225)
-        y = mk(self.norms[1], "norm2")(x, group_size)
-        y = _XavierDense(self.dim_ffn, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="linear1")(y)
-        y = nn.silu(y)
-        y = Conv1d(self.dim_ffn, self.conv_kernel_size, groups=self.n_conv_groups,
-                   dtype=self.dtype, param_dtype=self.param_dtype, name="conv1")(y)
-        y = nn.silu(y)
-        y = Conv1d(self.dim_ffn, self.conv_kernel_size, groups=self.n_conv_groups,
-                   dtype=self.dtype, param_dtype=self.param_dtype, name="conv2")(y)
-        y = mk(self.norms[2], "conv_norm")(y, group_size)
-        y = nn.silu(y)
-        y = Conv1d(self.dim_ffn, self.conv_kernel_size, groups=self.n_conv_groups,
-                   dtype=self.dtype, param_dtype=self.param_dtype, name="conv3")(y)
-        y = nn.silu(y)
-        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = _XavierDense(self.dim_hidden, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="linear2")(y)
-        return x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = self.norm2(x, group_size)
+        y = nn.silu(self.linear1(y))
+        y = nn.silu(self.conv1(y))
+        y = self.conv2(y)
+        y = nn.silu(self.conv_norm(y, group_size))
+        y = nn.silu(self.conv3(y))
+        y = self.drop(y, deterministic=deterministic)
+        y = self.linear2(y)
+        return x + self.drop(y, deterministic=deterministic)
+
+    def _use_fused_block(self, att_mask, deterministic) -> bool:
+        """Route the attention sub-block through the Pallas megakernel
+        (ops.attention_block: LN + folded qkv/out projections + attention +
+        residual in one kernel). NBC2's pre-norm unmasked MHSA is the
+        kernel's exact supported case (reference NBC2.py:171); same
+        preconditions and default as SpatialNet's `_use_fused_block`:
+        LN pre-norm, no mask, inactive dropout, ON whenever a real
+        accelerator backend is active (won every same-session A/B,
+        BENCH_NOTES rounds 2-5)."""
+        fused = self.fused_block
+        if fused is None:
+            env = os.environ.get("NBSS_FUSED_BLOCK", "")
+            fused = (env == "1" if env
+                     else jax.default_backend() != "cpu")
+        return (fused and not self.is_initializing()
+                and att_mask is None and self.norms[0].upper() == "LN"
+                and (deterministic or self.dropout == 0))
+
+    def _fused_attn_block(self, x):
+        from nbss_tpu.ops.attention_block import attention_block, fold_weights
+
+        v = lambda m: m.variables["params"]
+        ln, A, Wvo, c, eps = fold_weights(
+            v(self.norm1)["LayerNorm_0"]["scale"],
+            v(self.norm1)["LayerNorm_0"]["bias"],
+            v(self.self_attn)["in_proj"]["Dense_0"]["kernel"],
+            v(self.self_attn)["in_proj"]["Dense_0"]["bias"],
+            v(self.self_attn)["out_proj"]["Dense_0"]["kernel"],
+            v(self.self_attn)["out_proj"]["Dense_0"]["bias"], self.n_heads)
+        return attention_block(x, ln, A, Wvo, c, eps, self.n_heads)
 
 
 class NBC2(nn.Module):
@@ -135,6 +180,7 @@ class NBC2(nn.Module):
     share_along_sequence_dim: bool = False
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    fused_block: Optional[bool] = None  # None = NBSS_FUSED_BLOCK env
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -151,7 +197,8 @@ class NBC2(nn.Module):
                 conv_kernel_size=self.conv_kernel_size,
                 n_conv_groups=self.n_conv_groups, norms=self.norms,
                 share_along_sequence_dim=self.share_along_sequence_dim,
-                dtype=dt, param_dtype=self.param_dtype, name=f"block_{l}",
+                dtype=dt, param_dtype=self.param_dtype,
+                fused_block=self.fused_block, name=f"block_{l}",
             )(x, F, deterministic, att_mask)
         y = nn.Dense(  # torch-default init (reference decoder is nn.Linear)
             self.dim_output, dtype=dt, param_dtype=self.param_dtype,

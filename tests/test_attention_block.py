@@ -113,6 +113,50 @@ def test_fused_flag_plumbing(rng, monkeypatch):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_nbc2_fused_block_matches_unfused(rng):
+    """NBC2's pre-norm unmasked MHSA through the megakernel equals the
+    unfused path (VERDICT round-4 item 6; reference NBC2.py:171), fwd and
+    grad."""
+    from nbss_tpu.models.nbc2 import NBC2
+
+    kw = dict(dim_input=6, dim_output=4, n_layers=2, dim_hidden=24,
+              dim_ffn=48, num_freqs=5, n_heads=4, conv_kernel_size=3,
+              n_conv_groups=4)
+    x = jnp.asarray(rng.standard_normal((2, 5, 33, 6)), jnp.float32)
+    m_ref = NBC2(**kw, fused_block=False)
+    params = m_ref.init(jax.random.PRNGKey(3), x)
+    m_fused = NBC2(**kw, fused_block=True)
+    y_ref = m_ref.apply(params, x)
+    y_fused = m_fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               atol=2e-4, rtol=1e-4)
+
+    g_ref = jax.grad(lambda p: jnp.sum(m_ref.apply(p, x) ** 2))(params)
+    g_fused = jax.grad(lambda p: jnp.sum(m_fused.apply(p, x) ** 2))(params)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    for a, b in zip(flat_r, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3, rtol=5e-3)
+
+
+def test_nbc2_fused_guards(monkeypatch):
+    """NBC2's fused route honours the same preconditions as SpatialNet's."""
+    from nbss_tpu.models.nbc2 import NBC2Block
+
+    blk = NBC2Block(dim_hidden=24, dim_ffn=48, n_heads=4).bind({})
+    monkeypatch.setenv("NBSS_FUSED_BLOCK", "1")
+    assert blk._use_fused_block(None, True) is True
+    assert blk._use_fused_block(object(), True) is False  # mask present
+    monkeypatch.setenv("NBSS_FUSED_BLOCK", "0")
+    assert blk._use_fused_block(None, True) is False
+    # non-LN pre-norm vetoes the kernel
+    monkeypatch.setenv("NBSS_FUSED_BLOCK", "1")
+    gbn = NBC2Block(dim_hidden=24, dim_ffn=48, n_heads=4,
+                    norms=("GBN", "GBN", "GBN")).bind({})
+    assert gbn._use_fused_block(None, True) is False
+
+
 def test_fused_default_follows_backend(monkeypatch):
     """fused_block=None with no env: default ON on accelerator backends,
     OFF on the interpret-only CPU backend; NBSS_FUSED_BLOCK=0/1 overrides

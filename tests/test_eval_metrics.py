@@ -176,6 +176,58 @@ def test_pesq_native_in_metric_dispatch(rng, monkeypatch):
     assert m2["NB_PESQ"] is None
 
 
+def test_wb_pesq_native_invariants(rng):
+    """WB estimator battery (VERDICT round-4 item 9): P.862.2 mapping
+    ceiling (~4.64), monotone SNR degradation, gain/delay invariance, and
+    an 8 kHz rejection."""
+    from nbss_tpu.eval.pesq_native import wb_pesq
+
+    fs = 16000
+    x = _speechlike(rng, fs=fs)
+    clean = wb_pesq(fs, x, x)
+    assert 4.6 < clean < 4.7, clean  # P.862.2 mapping ceiling
+
+    last = clean
+    for snr in [30, 20, 10, 0]:
+        n = rng.standard_normal(len(x))
+        n *= np.sqrt((x ** 2).mean() / (n ** 2).mean()) * 10 ** (-snr / 20)
+        v = wb_pesq(fs, x, x + n)
+        assert v < last - 0.2, (snr, v, last)
+        last = v
+    assert last < 2.6, last
+
+    assert abs(wb_pesq(fs, x, 0.25 * x) - clean) < 0.02
+    assert abs(wb_pesq(fs, x, np.roll(x, 160)) - clean) < 0.05
+
+    with pytest.raises(ValueError):
+        wb_pesq(8000, x, x)
+
+
+def test_wb_pesq_in_metric_dispatch(rng, monkeypatch):
+    """WB_PESQ at 16 kHz uses the native fallback under the WB_PESQ_est
+    key; at 8 kHz it stays None (undefined, reference metrics.py:103-105);
+    NBSS_PESQ_NATIVE=0 forces strict None."""
+    from nbss_tpu.eval.metrics import cal_metrics
+
+    fs = 16000
+    t = np.stack([_speechlike(rng, fs=fs), _speechlike(rng, fs=fs)]).astype(np.float32)
+    p = t + 0.05 * rng.standard_normal(t.shape).astype(np.float32)
+    m, im, imp = cal_metrics(["WB_PESQ"], p, t, t + 0.3 * rng.standard_normal(
+        t.shape).astype(np.float32), fs)
+    assert "WB_PESQ" not in m and m["WB_PESQ_est"] is not None
+    assert 1.0 < m["WB_PESQ_est"] <= 4.7
+    assert imp["WB_PESQ_est_i"] == pytest.approx(
+        m["WB_PESQ_est"] - im["input_WB_PESQ_est"], abs=1e-6)
+
+    # 8 kHz: undefined either way
+    m8, _, _ = cal_metrics(["WB_PESQ"], p, t, t, 8000)
+    assert m8["WB_PESQ"] is None
+
+    monkeypatch.setenv("NBSS_PESQ_NATIVE", "0")
+    m2, _, _ = cal_metrics(["WB_PESQ"], p, t, t, fs)
+    assert m2["WB_PESQ"] is None
+
+
 def test_dnsmos_end_to_end_when_available(rng):
     """Gated integration test: runs the REAL DNSMOS inference end-to-end
     wherever onnxruntime + the ONNX models exist (they cannot exist in this
