@@ -37,9 +37,19 @@ def _host_fingerprint() -> str:
     feats = platform.machine()
     try:
         with open("/proc/cpuinfo") as f:
+            got = set()
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                # the model name matters independently of the flag set:
+                # XLA's LLVM tuning preferences (+prefer-no-scatter/gather)
+                # follow the detected CPU MODEL, so two hosts with equal
+                # flags but different models still produce incompatible AOT
+                # entries (observed round 5: cpu_aot_loader feature-mismatch
+                # errors from same-flags entries of an earlier round's VM)
+                for key in ("flags", "Features", "model name"):
+                    if line.startswith(key) and key not in got:
+                        got.add(key)
+                        feats += " ".join(sorted(line.split(":", 1)[1].split()))
+                if len(got) == 2:
                     break
     except OSError:  # pragma: no cover - non-Linux
         pass
