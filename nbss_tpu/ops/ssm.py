@@ -16,6 +16,7 @@ per-step einsums batch over (B, d_inner) on the VPU/MXU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -415,16 +416,26 @@ def selective_scan(x, dt, A, Bm, Cm, D):
     A flat-lane [Bm, N*D] kernel layout was A/B'd in round 2 and measured
     ~25% slower end to end (BENCH_NOTES.md "Flat-lane scan layout"); the
     variant was removed — this [Bm, N, D] family is the one maintained
-    path."""
+    path.
+
+    NBSS_SSM_TCHUNK overrides the kernel's sequential chunk length (default
+    8 frames/grid step) for A/B measurements; the forward and the
+    boundary-consuming backward always use the same value."""
     if jax.default_backend() == "tpu":
-        return selective_scan_pallas(x, dt, A, Bm, Cm, D)
+        return selective_scan_pallas(x, dt, A, Bm, Cm, D,
+                                     t_chunk=_t_chunk())
     return _selective_scan_xla(x, dt, A, Bm, Cm, D)
+
+
+def _t_chunk() -> int:
+    return int(os.environ.get("NBSS_SSM_TCHUNK", "8"))
 
 
 def _ss_fwd(x, dt, A, Bm, Cm, D):
     if jax.default_backend() == "tpu":
         y, hb = selective_scan_pallas(x, dt, A, Bm, Cm, D,
-                                      return_boundaries=True)
+                                      return_boundaries=True,
+                                      t_chunk=_t_chunk())
         return y, (x, dt, A, Bm, Cm, D, hb)
     return selective_scan(x, dt, A, Bm, Cm, D), (x, dt, A, Bm, Cm, D, None)
 
@@ -446,7 +457,7 @@ def _ss_bwd(res, gy):
         gy32 = gy.astype(jnp.float32)
         gx, gdt, gA, gB, gC = _pallas_scan_bwd(
             x32, dt32, A.astype(jnp.float32), Bm.astype(jnp.float32),
-            Cm.astype(jnp.float32), hb, gy32)
+            Cm.astype(jnp.float32), hb, gy32, t_chunk=_t_chunk())
         gx = gx + gy32 * D.astype(jnp.float32)
         gD = jnp.einsum("btd,btd->d", gy32, x32)
         outs = (gx, gdt, gA, gB, gC, gD)
