@@ -34,26 +34,32 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Presets mirroring /root/reference/models/io/stft.py:8-18
 PARAS_16K = dict(n_fft=512, n_hop=256, win_len=512)
 PARAS_8K = dict(n_fft=256, n_hop=128, win_len=256)
 
 
-def periodic_hann(n: int, dtype=jnp.float32) -> jnp.ndarray:
-    """torch.hann_window(n, periodic=True) == 0.5 * (1 - cos(2*pi*k/n))."""
-    k = jnp.arange(n, dtype=dtype)
-    return 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * k / n))
+def periodic_hann(n: int, dtype=np.float32) -> np.ndarray:
+    """torch.hann_window(n, periodic=True) == 0.5 * (1 - cos(2*pi*k/n)).
+
+    Built with numpy (not jnp) on purpose: the window is a host-side
+    constant, and ``STFT._window`` is a cached_property — computing it
+    with jnp under an active jit trace would cache a leaked tracer
+    (observed via scripts/eval_streaming_ckpt.py, round 5)."""
+    k = np.arange(n, dtype=dtype)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))
 
 
-def make_window(n_fft: int, win_len: int, win: str = "hann_window") -> jnp.ndarray:
+def make_window(n_fft: int, win_len: int, win: str = "hann_window") -> np.ndarray:
     assert win in ("hann_window", "sqrt_hann_window"), win
     w = periodic_hann(win_len)
     if win == "sqrt_hann_window":
-        w = jnp.sqrt(w)
+        w = np.sqrt(w)
     if win_len < n_fft:  # center-pad window to n_fft like torch.stft
         left = (n_fft - win_len) // 2
-        w = jnp.pad(w, (left, n_fft - win_len - left))
+        w = np.pad(w, (left, n_fft - win_len - left))
     return w
 
 
@@ -115,9 +121,9 @@ class STFT:
         return self.n_fft // 2 + 1
 
     @functools.cached_property
-    def _window(self) -> jnp.ndarray:
-        # computed on host as numpy-backed constant; becomes an XLA constant
-        return jax.device_get(make_window(self.n_fft, self.window_len, self.win))
+    def _window(self) -> np.ndarray:
+        # host numpy constant (trace-safe to cache); becomes an XLA constant
+        return make_window(self.n_fft, self.window_len, self.win)
 
     def stft(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
         """[..., time] -> (complex64 [..., F, T], original_len)."""

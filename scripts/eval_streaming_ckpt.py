@@ -46,7 +46,7 @@ def main():
 
     from nbss_tpu.ops import metrics as M
 
-    devs, si_sdrs, si_sdris = [], [], []
+    devs, match_dbs, si_sdrs, si_sdris = [], [], [], []
     loader = data.test_dataloader()
     for i, (x, ys, paras) in enumerate(loader):
         if i >= n_batches:
@@ -59,6 +59,10 @@ def main():
         y_str = fwd_stream(params, x)
         dev = float(jnp.max(jnp.abs(y_off - y_str)))
         scale = float(jnp.max(jnp.abs(y_off)))
+        # SI-SDR of streaming vs offline output: waveform-level agreement
+        # in dB (insensitive to the bf16 max-abs outlier the rel-dev shows)
+        match_db = float(M.si_sdr(y_str.astype(jnp.float32),
+                                  y_off.astype(jnp.float32)).mean())
         # PIT over the output permutation (model stream order is arbitrary)
         from nbss_tpu.ops.pit import pit
 
@@ -69,9 +73,11 @@ def main():
             jnp.broadcast_to(x[:, module.ref_channel:module.ref_channel + 1],
                              yr.shape), yr).mean(-1))
         devs.append(dev / max(scale, 1e-9))
+        match_dbs.append(match_db)
         si_sdrs.append(float(si.mean()))
         si_sdris.append(float((si - si_in).mean()))
-        print(f"batch {i}: rel_dev={devs[-1]:.2e} si_sdr={si_sdrs[-1]:.2f} "
+        print(f"batch {i}: rel_dev={devs[-1]:.2e} "
+              f"stream_vs_offline={match_db:.1f}dB si_sdr={si_sdrs[-1]:.2f} "
               f"si_sdri={si_sdris[-1]:.2f}", file=sys.stderr)
 
     if not devs:
@@ -79,6 +85,7 @@ def main():
         return
     out = {
         "streaming_max_rel_dev": max(devs),
+        "stream_vs_offline_si_sdr_db": float(np.mean(match_dbs)),
         "si_sdr": float(np.mean(si_sdrs)),
         "si_sdri": float(np.mean(si_sdris)),
         "n_batches": len(devs),
