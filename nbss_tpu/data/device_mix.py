@@ -342,6 +342,25 @@ class DeviceRirDataset:
         pad = [(0, 0)] * (a.ndim - 1) + [(0, L - a.shape[-1])]
         return np.pad(a, pad)
 
+    def _room_n_src(self, path) -> int:
+        """Source count of one room npz WITHOUT decompressing RIR data:
+        trajectory rooms store a tiny filename list under 'rir'; static
+        rooms get a header-only read of the stacked array's shape."""
+        if self.traj_points:
+            return len(np.load(path, allow_pickle=True)["rir"])
+        import zipfile
+
+        from numpy.lib import format as npf
+
+        with zipfile.ZipFile(path) as zf:
+            with zf.open("rir.npy") as f:
+                version = npf.read_magic(f)
+                if version == (1, 0):
+                    shape, _, _ = npf.read_array_header_1_0(f)
+                else:
+                    shape, _, _ = npf.read_array_header_2_0(f)
+        return shape[0]
+
     def set_index_mode(self, room_meta) -> None:
         """Yield (room_idx, spk_idx, paras) int items instead of RIR arrays
         — used with device-resident preloaded stacks (``preload``), so the
@@ -358,7 +377,13 @@ class DeviceRirDataset:
         in the rooms' stored dtype (fp16 trajectory stacks stay fp16 — the
         gather path casts to fp32, matching the array path's load-time cast),
         or None when the corpus exceeds ``budget_bytes`` / rooms are ragged
-        (different source counts) — callers then fall back to per-item IO."""
+        (different source counts) — callers then fall back to per-item IO.
+
+        A header-only pre-pass rejects ragged corpora before any bulk
+        array data is decompressed (a misconfigured corpus previously paid
+        a full room-0 load before falling back)."""
+        if len({self._room_n_src(p) for p in self.rirs}) > 1:
+            return None  # ragged source counts: not stackable
         rirs, dps, metas = [], [], []
         for path in self.rirs:
             z = np.load(path, allow_pickle=True)

@@ -69,9 +69,11 @@ def run_test(trainer, module, test_loader, log_dir: str,
 
     test_step = jax.jit(module.test_step)
 
-    inc_path = os.path.join(log_dir, "results_incremental.jsonl")
+    rank_tag = (f"_rank{jax.process_index()}" if jax.process_count() > 1
+                else "")
+    inc_path = os.path.join(log_dir, f"results_incremental{rank_tag}.jsonl")
     inc_f = open(inc_path, "w")
-    mean_path = os.path.join(log_dir, "results_mean.json")
+    mean_path = os.path.join(log_dir, f"results_mean{rank_tag}.json")
 
     def _flush_mean(partial: bool) -> Dict:
         mean = _mean_of(results)

@@ -10,6 +10,11 @@ Families: spatialnet nbc nbc2 nbblstm online-mamba online-ret online-mhsa
 
 from __future__ import annotations
 
+# run as `python scripts/<name>.py` from anywhere:
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -10,6 +10,10 @@ fori_loop with a carried data dependency, scalar fetch as the only sync
 (BENCH_NOTES.md round-2 methodology notes).
 """
 
+# run as `python scripts/<name>.py` from anywhere:
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

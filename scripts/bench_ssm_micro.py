@@ -21,6 +21,11 @@ Env: NBSS_SSM_TCHUNK for chunk-length A/Bs.
 
 from __future__ import annotations
 
+# run as `python scripts/<name>.py` from anywhere:
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 import time

@@ -18,6 +18,11 @@ Usage: python scripts/bench_step_breakdown.py [batch=8] [iters=10] [mamba]
 
 from __future__ import annotations
 
+# run as `python scripts/<name>.py` from anywhere:
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 
@@ -114,16 +119,16 @@ def main():
 
     @jax.jit
     def fwd_bwd(params, x, ys, n):
-        def body(i, carry):
-            s, _ = carry
+        # the grad reduction MUST feed the carry the next iteration reads,
+        # or XLA dead-code-eliminates the whole backward (observed: fwd+bwd
+        # == fwd when gsum was a discarded second carry element)
+        def body(i, s):
             loss, grads = jax.value_and_grad(
                 lambda p: module.training_step(p, (x + s * 1e-9, ys)))(params)
             gsum = sum(jnp.sum(jnp.abs(g).astype(jnp.float32))
                        for g in jax.tree_util.tree_leaves(grads))
-            return loss, gsum
-        loss, _ = jax.lax.fori_loop(0, n, body,
-                                    (jnp.float32(0.0), jnp.float32(0.0)))
-        return loss
+            return loss + gsum * jnp.float32(1e-20)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     @jax.jit
     def full_step(params, opt_state, x, ys, n):

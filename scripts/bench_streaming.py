@@ -17,6 +17,11 @@ Usage: python scripts/bench_streaming.py [attention=mamba(16,4)] [B=1] [T=251]
 
 from __future__ import annotations
 
+# run as `python scripts/<name>.py` from anywhere:
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

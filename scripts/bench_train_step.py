@@ -12,6 +12,11 @@ loss per configs/onlineSpatialNet.yaml.)
 
 from __future__ import annotations
 
+# run as `python scripts/<name>.py` from anywhere:
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -13,6 +13,10 @@ K5  full kernel (97-lane augmented width)
 K6  full kernel with the augmented width padded to 128 lanes
 """
 
+# run as `python scripts/<name>.py` from anywhere:
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import sys
 

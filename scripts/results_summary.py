@@ -5,6 +5,10 @@ Prints a table of epoch vs train loss / val metric (+ any val/* host
 metrics), plus the best-epoch line — the inputs for RESULTS.md.
 """
 
+# run as `python scripts/<name>.py` from anywhere:
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 from collections import defaultdict
