@@ -400,6 +400,14 @@ class OnlineSpatialNet(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     remat: bool = False
+    # remat recompute policy: None/'none' recomputes everything (minimum
+    # memory); 'dots' saves matmul outputs and recomputes only the cheap
+    # elementwise/scan work (jax.checkpoint_policies
+    # .dots_with_no_batch_dims_saveable) — the big fp32 selective-scan
+    # temps that forced remat on are NOT dot outputs, so they stay
+    # unsaved and memory stays bounded while the backward skips the
+    # matmul recompute.
+    remat_policy: Optional[str] = None
 
     def setup(self):
         kind, cfg = parse_attention(self.attention)
@@ -415,7 +423,12 @@ class OnlineSpatialNet(nn.Module):
         # training step at B=8 x 4 s otherwise allocates ~24 GB of fp32
         # scan temps in the backward (>15.75 GB v5e HBM). statics: the
         # (deterministic, chunkwise, rope, recurrent) flags.
-        layer_cls = (nn.remat(OnlineSpatialNetLayer, static_argnums=(4, 5, 6, 7))
+        pol_name = self.remat_policy or "none"
+        policies = {"none": None,
+                    "dots": jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable}
+        layer_cls = (nn.remat(OnlineSpatialNetLayer, static_argnums=(4, 5, 6, 7),
+                              policy=policies[pol_name])
                      if self.remat else OnlineSpatialNetLayer)
         self.layers = [
             layer_cls(

@@ -52,6 +52,7 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     mamba = "mamba" in sys.argv[3:]
+    remat_policy = "dots" if "dots" in sys.argv[3:] else None
     fs, secs, C, spk = 8000, 4.0, 6, 2
     T = int(fs * secs)
 
@@ -63,7 +64,7 @@ def main():
             dim_ffn=192, num_heads=4, kernel_size=(5, 3), conv_groups=(8, 8),
             norms=("LN", "LN", "GN", "LN", "LN", "LN"), dim_squeeze=8,
             num_freqs=129, full_share=0, attention="mamba(16,4)",
-            dtype=jnp.bfloat16, remat=True,
+            dtype=jnp.bfloat16, remat=True, remat_policy=remat_policy,
         )
         module = TrainModule(
             arch=arch, channels=tuple(range(C)), ref_channel=0,

@@ -311,6 +311,7 @@ def test_remat_matches_unremat(rng):
               attention="mamba(4,4)")
     m1 = OnlineSpatialNet(**kw, remat=True)
     m0 = OnlineSpatialNet(**kw, remat=False)
+    md = OnlineSpatialNet(**kw, remat=True, remat_policy="dots")
     x = jnp.asarray(rng.standard_normal((2, 9, 20, 4)), jnp.float32)
     params = m1.init(jax.random.PRNGKey(0), x)
 
@@ -320,6 +321,12 @@ def test_remat_matches_unremat(rng):
     g0 = jax.grad(lambda p: jnp.mean(m0.apply(p, x) ** 2))(params)
     np.testing.assert_allclose(
         np.asarray(jax.flatten_util.ravel_pytree(g1)[0]),
+        np.asarray(jax.flatten_util.ravel_pytree(g0)[0]), atol=1e-6)
+    # the dots policy (default in configs/onlineSpatialNet.yaml) changes
+    # only WHAT is saved for the backward, never the values
+    gd = jax.grad(lambda p: jnp.mean(md.apply(p, x) ** 2))(params)
+    np.testing.assert_allclose(
+        np.asarray(jax.flatten_util.ravel_pytree(gd)[0]),
         np.asarray(jax.flatten_util.ravel_pytree(g0)[0]), atol=1e-6)
 
     st = m1.apply(params, 2, method=OnlineSpatialNet.init_streaming_state)
