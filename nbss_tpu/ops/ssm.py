@@ -108,7 +108,17 @@ def _m_tiling(Bp: int, cap: int = 256):
     return bm, n_tiles, bm * n_tiles
 
 
-_VMEM_BUDGET = 64 * 1024 * 1024
+# Scoped-VMEM budget the cap model sizes tiles against. The model is
+# calibrated to the current libtpu's stack accounting (see
+# _fwd_vmem_cap_rows); if a future release changes accounting and a
+# compile dies with 'exceeded scoped vmem limit', the RUNTIME recovery is
+# NBSS_SSM_VMEM_BUDGET=<bytes> (e.g. 48e6) — it shrinks every derived tile
+# without a code edit. An automatic catch-halve-retry probe was considered
+# and rejected: the error only surfaces when the ENCLOSING jit compiles,
+# and a pre-flight probe would pay a second multi-minute Mosaic compile
+# per unique shape to guard a once-per-libtpu-bump event.
+_VMEM_BUDGET = int(float(os.environ.get("NBSS_SSM_VMEM_BUDGET",
+                                        64 * 1024 * 1024)))
 
 
 def _fwd_vmem_cap_rows(tc: int, D_: int, N_: int, x_item: int, dt_item: int,
@@ -224,7 +234,7 @@ def selective_scan_pallas(
         scratch_shapes=[pltpu.VMEM((bm, N_, D_), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * len(grid),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=max(64 * 1024 * 1024, _VMEM_BUDGET)),
         interpret=jax.default_backend() == "cpu",
     )(xp, dtp, a_t, bp, cp)
     out, hb = outs if return_boundaries else (outs, None)

@@ -52,11 +52,24 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     mamba = "mamba" in sys.argv[3:]
+    nbc2 = "nbc2" in sys.argv[3:]
     remat_policy = "dots" if "dots" in sys.argv[3:] else None
     fs, secs, C, spk = 8000, 4.0, 6, 2
     T = int(fs * secs)
 
-    if mamba:
+    if nbc2:
+        from nbss_tpu.models import NBC2
+
+        arch = NBC2(dim_input=2 * C, dim_output=2 * spk, n_layers=8,
+                    dim_hidden=96, dim_ffn=192, num_freqs=129, n_heads=2,
+                    dtype=jnp.bfloat16)
+        module = TrainModule(
+            arch=arch, channels=tuple(range(C)), ref_channel=0,
+            stft=STFT(n_fft=256, n_hop=128),
+            norm=Norm(mode="frequency", online=False),
+            loss=Loss(name="neg_sa_sdr", pit=True),
+        )
+    elif mamba:
         from nbss_tpu.models import OnlineSpatialNet
 
         arch = OnlineSpatialNet(
@@ -156,7 +169,8 @@ def main():
     t_full = _timed(full_step, (params, opt_state, x, ys), iters)
     rows.append(("full step (+Adam)", t_full))
 
-    print(f"\n== breakdown B={B} ({'mamba' if mamba else 'spatialnet'}) ==")
+    fam = "nbc2" if nbc2 else ("mamba" if mamba else "spatialnet")
+    print(f"\n== breakdown B={B} ({fam}) ==")
     for k, v in rows:
         print(f"{k:36s} {v:8.1f} ms")
     print("-- derived --")
