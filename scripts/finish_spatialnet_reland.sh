@@ -69,8 +69,13 @@ echo "EVAL_DONE rc=$rc $(date -u)" >&2
 git add -f "$VDIR/metrics.jsonl" "$VDIR/config.yaml" "$VDIR/provenance.txt" \
   "$VDIR/model.txt" "$VDIR/checkpoints/epoch$BEST" \
   "$VDIR/checkpoints/epoch$BEST.json"
+# Commit the result JSONs and one example, not all 200 example wav dirs
+# (the wavs are reproducible from the committed checkpoint + corpus seed).
 TDIR="$VDIR/epoch${BEST}_test_set"
-[ -d "$TDIR" ] && git add -f "$TDIR"
+if [ -d "$TDIR" ]; then
+  git add -f "$TDIR"/*.json "$TDIR"/*.jsonl "$TDIR"/*.yaml "$TDIR"/*.txt 2>/dev/null
+  [ -d "$TDIR/examples/0" ] && git add -f "$TDIR/examples/0"
+fi
 VAL=$(python3 -c "import json;print(round(max(json.loads(l)['value'] for l in open('$VDIR/metrics.jsonl') if json.loads(l)['key']=='val/metric'),2))")
 git commit -q -m "SpatialNet re-land: flagship convergence artifacts force-committed (best epoch $BEST, val $VAL dB)"
 echo "COMMITTED $(date -u) $(git log --oneline -1)" >&2
